@@ -1,0 +1,196 @@
+"""Target (log-density) abstraction.
+
+This is the TPU-native replacement for the reference's central component,
+``BasicContMuvParameter`` (reference: src/variables/parameters/
+BasicContMuvParameter.jl:3-761) and its univariate/discrete twins.  The
+reference wires 17 mutating closures (`logtarget!`, `gradlogtarget!`,
+`uptogradlogtarget!`, ...) plus a forward/reverse AD auto-wiring layer
+(reference: src/autodiff/*.jl).  In JAX the whole machinery collapses to a
+pure scalar function ``logdensity_fn(x) -> float`` plus `jax.grad` /
+`jax.value_and_grad` / `jax.hessian`:
+
+    reference closure            ->  Target method
+    ---------------------------------------------------------------
+    logtarget!(state)            ->  target.logdensity(x)
+    gradlogtarget!(state)        ->  target.grad(x)
+    uptogradlogtarget!(state)    ->  target.logdensity_and_grad(x)
+    tensorlogtarget!(state)      ->  target.tensor(x)          (= -Hessian)
+    uptotensorlogtarget!(state)  ->  target.logdensity_grad_tensor(x)
+    dtensorlogtarget!(state)     ->  target.dtensor(x)         (rank-3)
+    loglikelihood!/logprior!     ->  target.loglikelihood / target.logprior
+    setpdf!/logpdf(pdf, x)       ->  Target.from_distribution(dist)
+
+Wiring rules mirror the reference:
+  * logtarget = loglikelihood + logprior when both are given
+    (reference: BasicContMuvParameter.jl:174-201);
+  * logtarget = logpdf(distribution, x) when a distribution is given
+    (reference: BasicContMuvParameter.jl:552-564);
+  * missing derivatives are auto-filled from AD
+    (reference: BasicContMuvParameter.jl:566-695) — here always available
+    via jax.grad, with optional user-supplied analytical overrides.
+
+The "tensor" is the negative Hessian of the log-target (the observed
+Fisher information), as used by SMMALA (reference: src/samplers/SMMALA.jl).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+Array = jax.Array
+LogDensityFn = Callable[..., Array]
+
+
+def _neg(fn):
+    def wrapped(*args, **kwargs):
+        return jax.tree.map(lambda t: -t, fn(*args, **kwargs))
+
+    return wrapped
+
+
+@dataclasses.dataclass(frozen=True)
+class Target:
+    """A (possibly unnormalised) log-density with derivative accessors.
+
+    All methods are pure functions of the position ``x`` (an array or any
+    pytree) and are safe to ``jit``/``vmap``/``grad``.  Construct via one
+    of:
+
+      * ``Target(logdensity_fn=f, dim=d)``
+      * ``Target.from_loglik_logprior(ll, lp, dim=d)``
+      * ``Target.from_distribution(dist, dim=d)`` where ``dist`` has a
+        ``logpdf`` method (see klara_tpu.distributions).
+
+    Analytical derivative overrides (``grad_fn``, ``tensor_fn``,
+    ``dtensor_fn``) replace the AD defaults when provided — the analogue of
+    the reference's hand-written gradient path
+    (e.g. doc/examples/swiss/MALA/analytical.jl).
+    """
+
+    logdensity_fn: LogDensityFn
+    dim: Optional[int] = None
+    loglikelihood_fn: Optional[LogDensityFn] = None
+    logprior_fn: Optional[LogDensityFn] = None
+    grad_fn: Optional[Callable] = None
+    tensor_fn: Optional[Callable] = None
+    dtensor_fn: Optional[Callable] = None
+    name: str = "target"
+
+    # ---------------------------------------------------------------- ctors
+    @classmethod
+    def from_loglik_logprior(
+        cls,
+        loglikelihood_fn: LogDensityFn,
+        logprior_fn: LogDensityFn,
+        dim: Optional[int] = None,
+        **kwargs: Any,
+    ) -> "Target":
+        """Bayesian composition: logtarget = loglikelihood + logprior.
+
+        Mirrors reference BasicContMuvParameter.jl:174-201.
+        """
+
+        def logdensity_fn(x, *args):
+            return loglikelihood_fn(x, *args) + logprior_fn(x, *args)
+
+        return cls(
+            logdensity_fn=logdensity_fn,
+            loglikelihood_fn=loglikelihood_fn,
+            logprior_fn=logprior_fn,
+            dim=dim,
+            **kwargs,
+        )
+
+    @classmethod
+    def from_distribution(cls, dist: Any, dim: Optional[int] = None, **kwargs) -> "Target":
+        """Target backed by a distribution object exposing ``logpdf``.
+
+        Mirrors reference BasicContMuvParameter.jl:552-564 (`setpdf`).
+        """
+        if dim is None:
+            dim = getattr(dist, "dim", None)
+        return cls(logdensity_fn=lambda x: jnp.sum(dist.logpdf(x)), dim=dim, **kwargs)
+
+    # -------------------------------------------------------------- methods
+    def logdensity(self, x, *args) -> Array:
+        return self.logdensity_fn(x, *args)
+
+    def loglikelihood(self, x, *args) -> Array:
+        if self.loglikelihood_fn is None:
+            raise ValueError("target has no loglikelihood decomposition")
+        return self.loglikelihood_fn(x, *args)
+
+    def logprior(self, x, *args) -> Array:
+        if self.logprior_fn is None:
+            raise ValueError("target has no logprior decomposition")
+        return self.logprior_fn(x, *args)
+
+    def grad(self, x, *args) -> Array:
+        """∇ log π(x) — reference `gradlogtarget!`."""
+        if self.grad_fn is not None:
+            return self.grad_fn(x, *args)
+        return jax.grad(self.logdensity_fn)(x, *args)
+
+    def logdensity_and_grad(self, x, *args):
+        """Fused value+gradient — reference `uptogradlogtarget!`
+        (BasicContMuvParameter.jl:263-323)."""
+        if self.grad_fn is not None:
+            return self.logdensity_fn(x, *args), self.grad_fn(x, *args)
+        return jax.value_and_grad(self.logdensity_fn)(x, *args)
+
+    def tensor(self, x, *args) -> Array:
+        """Metric tensor G(x) = -Hessian of log-target (observed Fisher).
+
+        Reference `tensorlogtarget!`; consumed by SMMALA
+        (src/samplers/iterate/SMMALA.jl:112-119).
+        """
+        if self.tensor_fn is not None:
+            return self.tensor_fn(x, *args)
+        return _neg(jax.hessian(self.logdensity_fn))(x, *args)
+
+    def logdensity_grad_tensor(self, x, *args):
+        """Fused value+grad+tensor — reference `uptotensorlogtarget!`."""
+        if self.tensor_fn is not None and self.grad_fn is not None:
+            return (
+                self.logdensity_fn(x, *args),
+                self.grad_fn(x, *args),
+                self.tensor_fn(x, *args),
+            )
+        value, grad = self.logdensity_and_grad(x, *args)
+        return value, grad, self.tensor(x, *args)
+
+    def dtensor(self, x, *args) -> Array:
+        """Rank-3 derivative of the metric tensor — reference
+        `dtensorlogtarget!` (needed only by full-manifold MMALA variants).
+        """
+        if self.dtensor_fn is not None:
+            return self.dtensor_fn(x, *args)
+        return jax.jacfwd(self.tensor)(x, *args)
+
+    # ------------------------------------------------------------- helpers
+    def with_name(self, name: str) -> "Target":
+        return dataclasses.replace(self, name=name)
+
+
+def bounded_target(target: Target, lower=None, upper=None) -> Target:
+    """Wrap a target so positions outside [lower, upper] get -inf density.
+
+    The reference enforces support via `check_support`
+    (src/variables/parameters/parameters.jl:24-32) and truncation bounds in
+    AMWG (src/samplers/AMWG.jl:139-151).  In JAX we fold the indicator into
+    the log-density; samplers then reject automatically.
+    """
+    lo = -jnp.inf if lower is None else lower
+    hi = jnp.inf if upper is None else upper
+
+    def logdensity_fn(x, *args):
+        raw = target.logdensity_fn(x, *args)
+        ok = jnp.all(jnp.asarray(x) >= lo) & jnp.all(jnp.asarray(x) <= hi)
+        return jnp.where(ok, raw, -jnp.inf)
+
+    return dataclasses.replace(target, logdensity_fn=logdensity_fn)

@@ -1,0 +1,292 @@
+"""MCJob: the simulation driver.
+
+TPU-native re-design of the reference's ``BasicMCJob``
+(src/jobs/BasicMCJob.jl:6-295).  The reference's hot loop —
+
+    for i in 1:nsteps
+        iterate!(job, sampler, variate_form)     # mutate states
+        i in postrange && save(job, count)       # copy! into NState
+    end                                          (BasicMCJob.jl:212-244)
+
+— becomes a single compiled program:
+
+    * the step kernel is a pure function, `vmap`-ed over a chains axis
+      (the reference runs ONE chain per job; `run(::Vector{MCJob})` is a
+      serial map, src/jobs/jobs.jl:212 — here thousands of chains run in
+      SIMD lockstep per chip);
+    * `lax.scan` drives the steps; saving is an in-scan
+      `dynamic_update_index_in_dim` scatter into preallocated
+      ``(n_post, n_chains, ...)`` trace buffers, gated by the postrange
+      predicate (no O(n_steps) memory, no host transfers in the loop);
+    * tuner updates run inside the scan with `jnp.where` gating
+      (burnin-period semantics identical to the reference, see
+      klara_tpu.tuners);
+    * chains are sharded over a device mesh axis ('chains') — data
+      parallelism over ICI with zero per-step communication; optional
+      *pooled* adaptation reduces acceptance statistics across all chains
+      (a cross-chip `mean`, lowered by XLA to a psum over ICI).
+
+Monitored fields (reference outopts[:monitor], src/jobs/jobs.jl:9-46):
+'value', 'logtarget', 'loglikelihood', 'logprior', 'gradlogtarget'.
+Diagnostics (reference outopts[:diagnostics]): 'accept', 'accept_stat',
+plus sampler extras (e.g. NUTS 'ndoublings').
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from klara_tpu.core.target import Target
+from klara_tpu.jobs.chain import Chain
+from klara_tpu.jobs.range import MCRange
+from klara_tpu.samplers.base import Info, Sampler
+from klara_tpu.tuners.tuners import Tuner
+
+
+def _field_value(name: str, state, info: Info, target: Target):
+    if name == "value":
+        return state.position
+    if name == "logtarget":
+        return info.logtarget
+    if name == "loglikelihood":
+        return target.loglikelihood(state.position)
+    if name == "logprior":
+        return target.logprior(state.position)
+    if name == "gradlogtarget":
+        if hasattr(state, "gradlogtarget"):
+            return state.gradlogtarget
+        return target.grad(state.position)
+    raise ValueError(f"unknown monitored field {name!r}")
+
+
+def _diag_value(name: str, state, info: Info):
+    if name == "accept":
+        return info.accept
+    if name == "accept_stat":
+        return info.accept_stat
+    if name in info.extras:
+        return info.extras[name]
+    raise ValueError(f"unknown diagnostic {name!r}")
+
+
+@dataclasses.dataclass
+class MCJob:
+    """Single-parameter MCMC job over a batch of chains.
+
+    Parameters
+    ----------
+    target : Target
+    sampler : Sampler (static hyper-parameters)
+    mcrange : MCRange (n_steps / burnin / thinning)
+    tuner : Tuner or None (None -> sampler.default_tuner())
+    n_chains : number of parallel chains (vmap axis, mesh-sharded)
+    monitor : monitored fields saved per post-burnin draw
+    diagnostics : per-draw diagnostics saved alongside
+    mesh : optional jax mesh with a 'chains' axis for multi-chip sharding
+    pooled_tuning : adapt from cross-chain pooled acceptance statistics
+    step_size : initial step size override (else sampler default / search)
+    """
+
+    target: Target
+    sampler: Sampler
+    mcrange: MCRange = dataclasses.field(default_factory=MCRange)
+    tuner: Optional[Tuner] = None
+    n_chains: int = 1
+    monitor: Sequence[str] = ("value", "logtarget")
+    diagnostics: Sequence[str] = ("accept",)
+    mesh: Optional[Mesh] = None
+    chains_axis: str = "chains"
+    pooled_tuning: bool = False
+    step_size: Optional[float] = None
+
+    def __post_init__(self):
+        if self.tuner is None:
+            self.tuner = self.sampler.default_tuner()
+        self._compiled = None
+
+    # ------------------------------------------------------------------ init
+    def _init_states(self, key, x0):
+        x0 = jnp.asarray(x0)
+        if x0.ndim == 0 or (x0.ndim == 1 and self.n_chains != x0.shape[0]):
+            x0 = jnp.broadcast_to(x0, (self.n_chains,) + x0.shape)
+        elif x0.shape[0] != self.n_chains:
+            x0 = jnp.broadcast_to(x0, (self.n_chains,) + x0.shape)
+        init_keys = jax.random.split(key, self.n_chains)
+        init_one = functools.partial(
+            self.sampler.init,
+            target=self.target,
+            step_size=self.step_size,
+            tuner=self.tuner,
+        )
+        return jax.vmap(lambda k, x: init_one(k, position=x))(init_keys, x0)
+
+    # ------------------------------------------------------------------ step
+    def _scan_fn(self, chain_keys):
+        sampler, target, tuner = self.sampler, self.target, self.tuner
+        burnin, thinning = self.mcrange.burnin, self.mcrange.thinning
+        pooled = self.pooled_tuning
+        stat_name = sampler.tuner_statistic
+
+        def one_step(key, i, state):
+            step_key = jax.random.fold_in(key, i)
+            return sampler.step(step_key, state, target)
+
+        def scan_body(carry, i):
+            states, buffers = carry
+            states, infos = jax.vmap(lambda k, s: one_step(k, i, s))(chain_keys, states)
+
+            if not sampler.self_tuning:
+                accept = infos.accept.astype(jnp.float32)
+                stat = infos.accept_stat if stat_name == "accept_stat" else accept
+                if pooled:
+                    # cross-chain (and cross-chip, via XLA-inserted psum)
+                    # pooling of acceptance statistics
+                    accept = jnp.broadcast_to(jnp.mean(accept), accept.shape)
+                    stat = jnp.broadcast_to(
+                        jnp.mean(stat.astype(jnp.float32)), stat.shape
+                    )
+                new_tune = jax.vmap(
+                    lambda t, a, s: tuner.update(t, a, s, burnin)
+                )(states.tune, accept, stat)
+                states = states._replace(tune=new_tune)
+
+            save_idx = (i - burnin) // thinning
+            do_save = (i >= burnin) & ((i - burnin) % thinning == 0)
+
+            def write(bufs):
+                samples, diags = bufs
+                samples = {
+                    name: jax.lax.dynamic_update_index_in_dim(
+                        buf,
+                        jax.vmap(lambda s, nf: _field_value(name, s, nf, target))(
+                            states, infos
+                        ).astype(buf.dtype),
+                        save_idx,
+                        0,
+                    )
+                    for name, buf in samples.items()
+                }
+                diags = {
+                    name: jax.lax.dynamic_update_index_in_dim(
+                        buf,
+                        jax.vmap(lambda s, nf: _diag_value(name, s, nf))(
+                            states, infos
+                        ).astype(buf.dtype),
+                        save_idx,
+                        0,
+                    )
+                    for name, buf in diags.items()
+                }
+                return samples, diags
+
+            buffers = jax.lax.cond(do_save, write, lambda b: b, buffers)
+            return (states, buffers), None
+
+        return scan_body
+
+    def _alloc_buffers(self, states, example_info: Info):
+        n_post, n_chains = self.mcrange.n_post, self.n_chains
+
+        def alloc_like(x):
+            x = jnp.asarray(x)
+            return jnp.zeros((n_post,) + x.shape, x.dtype)
+
+        samples = {
+            name: alloc_like(
+                jax.vmap(lambda s, nf: _field_value(name, s, nf, self.target))(
+                    states, example_info
+                )
+            )
+            for name in self.monitor
+        }
+        diags = {
+            name: alloc_like(
+                jax.vmap(lambda s, nf: _diag_value(name, s, nf))(states, example_info)
+            )
+            for name in self.diagnostics
+        }
+        return samples, diags
+
+    # ------------------------------------------------------------------- run
+    def _run(self, key, x0):
+        init_key, run_key = jax.random.split(key)
+        states = self._init_states(init_key, x0)
+        chain_keys = jax.random.split(run_key, self.n_chains)
+
+        # trace one (un-executed under jit? no — cheap single step) step to
+        # discover info structure; we reuse real step 0 results for shapes
+        # only, via eval_shape to avoid doubling work.
+        def first_info(states):
+            _, infos = jax.vmap(
+                lambda k, s: self.sampler.step(jax.random.fold_in(k, 0), s, self.target)
+            )(chain_keys, states)
+            return infos
+
+        infos_shape = jax.eval_shape(first_info, states)
+        example_info = jax.tree.map(
+            lambda sd: jnp.zeros(sd.shape, sd.dtype), infos_shape
+        )
+        buffers = self._alloc_buffers(states, example_info)
+
+        scan_body = self._scan_fn(chain_keys)
+        (states, buffers), _ = jax.lax.scan(
+            scan_body, (states, buffers), jnp.arange(self.mcrange.n_steps)
+        )
+        samples, diags = buffers
+        return Chain(samples=samples, diagnostics=diags, final_state=states)
+
+    def run(self, key, x0) -> Chain:
+        """Run the job end-to-end, compiled as one XLA program.
+
+        Counterpart of reference ``run(::BasicMCJob)``
+        (src/jobs/BasicMCJob.jl:212-244).
+        """
+        run_jit = jax.jit(self._run)
+        if self.mesh is not None:
+            x0 = jnp.asarray(x0)
+            if x0.ndim < 1 or x0.shape[0] != self.n_chains:
+                x0 = jnp.broadcast_to(x0, (self.n_chains,) + x0.shape)
+            sharding = NamedSharding(
+                self.mesh, P(self.chains_axis, *([None] * (x0.ndim - 1)))
+            )
+            x0 = jax.device_put(x0, sharding)
+        return run_jit(key, x0)
+
+    # convenient resume: continue sampling from a previous chain's final state
+    def resume(self, key, chain: Chain) -> Chain:
+        states = chain.final_state
+        chain_keys = jax.random.split(key, self.n_chains)
+
+        def _resumed(states):
+            infos_shape = jax.eval_shape(
+                lambda s: jax.vmap(
+                    lambda k, st: self.sampler.step(k, st, self.target)
+                )(chain_keys, s)[1],
+                states,
+            )
+            example_info = jax.tree.map(
+                lambda sd: jnp.zeros(sd.shape, sd.dtype), infos_shape
+            )
+            buffers = self._alloc_buffers(states, example_info)
+            scan_body = self._scan_fn(chain_keys)
+            (states2, buffers), _ = jax.lax.scan(
+                scan_body, (states, buffers), jnp.arange(self.mcrange.n_steps)
+            )
+            samples, diags = buffers
+            return Chain(samples=samples, diagnostics=diags, final_state=states2)
+
+        return jax.jit(_resumed)(states)
+
+
+def run(jobs, key, x0s):
+    """Run a sequence of jobs (reference `run(::Vector{MCJob})`,
+    src/jobs/jobs.jl:212). Sequential by design — parallelism lives in the
+    chains axis, not in job multiplicity."""
+    keys = jax.random.split(key, len(jobs))
+    return [job.run(k, x0) for job, k, x0 in zip(jobs, keys, x0s)]

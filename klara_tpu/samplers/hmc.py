@@ -1,0 +1,111 @@
+"""Hamiltonian Monte Carlo.
+
+Reference: src/samplers/HMC.jl:89-100 (HMC(leapstep=0.1, nleaps=10)) and
+kernel src/samplers/iterate/HMC.jl:124-250:
+
+  * momentum ~ N(0, I) (line 135);
+  * ``nleaps`` leapfrog steps at step ε = tune.step;
+  * accept with probability min(1, exp(H' − H)) (lines 157-165);
+  * with DualAveragingTuner the trajectory length λ = nleaps·leapstep is
+    held fixed and nleaps = max(1, round(λ/ε)) is recomputed each
+    iteration (lines 142-144); ε is dual-averaged from the per-step
+    acceptance statistic during the first nadapt iterations (225-248),
+    with ε initialised by the doubling/halving search and
+    μ = log(10·ε₀) (src/samplers/HMC.jl:183-209).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from klara_tpu.core.target import Target
+from klara_tpu.samplers.base import Info, Sampler, metropolis_accept
+from klara_tpu.samplers.hamiltonian import (
+    PhasePoint,
+    find_reasonable_step_size,
+    hamiltonian,
+    leapfrog,
+)
+from klara_tpu.tuners.tuners import DualAveragingTuner, TuneState
+
+
+class HMCState(NamedTuple):
+    position: jax.Array
+    logtarget: jax.Array
+    gradlogtarget: jax.Array
+    tune: TuneState
+
+
+@dataclasses.dataclass(frozen=True)
+class HMC(Sampler):
+    leapstep: float = 0.1
+    nleaps: int = 10
+    # fixed trajectory length used with dual averaging; None → nleaps*leapstep
+    trajectory_length: float | None = None
+    # hard cap on per-iteration leapfrog count when nleaps is dynamic
+    max_nleaps: int = 1024
+
+    tuner_statistic = "accept_stat"
+
+    def default_step_size(self):
+        return self.leapstep
+
+    def init(self, key, target: Target, position, step_size=None, tuner=None):
+        position = jnp.asarray(position)
+        lt, grad = target.logdensity_and_grad(position)
+        tuner = tuner or self.default_tuner()
+
+        if step_size is not None:
+            step0 = jnp.asarray(step_size, position.dtype)
+        elif isinstance(tuner, DualAveragingTuner):
+            # reference runs the Alg-4 search when dual averaging is on
+            step0 = find_reasonable_step_size(key, target, position)
+        else:
+            step0 = jnp.asarray(self.leapstep, position.dtype)
+
+        tune = tuner.init(step0)
+        if isinstance(tuner, DualAveragingTuner):
+            tune = tuner.set_mu_from_step(tune)
+        return HMCState(position, lt, grad, tune)
+
+    def _nleaps(self, eps, dynamic: bool):
+        if not dynamic:
+            return self.nleaps
+        lam = self.trajectory_length
+        if lam is None:
+            lam = self.nleaps * self.leapstep
+        n = jnp.round(lam / eps).astype(jnp.int32)
+        return jnp.clip(n, 1, self.max_nleaps)
+
+    def step(self, key, state: HMCState, target: Target, dynamic_nleaps: bool = False):
+        k_mom, k_acc = jax.random.split(key)
+        x, lt, grad = state.position, state.logtarget, state.gradlogtarget
+        eps = state.tune.step
+
+        p0 = jax.random.normal(k_mom, x.shape, x.dtype)
+        h0 = hamiltonian(lt, p0)
+
+        pp = leapfrog(
+            target,
+            PhasePoint(x, p0, lt, grad),
+            eps,
+            self._nleaps(eps, dynamic_nleaps),
+        )
+        h1 = hamiltonian(pp.logtarget, pp.momentum)
+        ratio = h1 - h0
+        ratio = jnp.where(jnp.isnan(ratio), -jnp.inf, ratio)
+
+        accept = metropolis_accept(k_acc, ratio)
+        new_state = HMCState(
+            position=jnp.where(accept, pp.position, x),
+            logtarget=jnp.where(accept, pp.logtarget, lt),
+            gradlogtarget=jnp.where(accept, pp.gradlogtarget, grad),
+            tune=state.tune,
+        )
+        a = jnp.minimum(1.0, jnp.exp(jnp.minimum(ratio, 0.0)))
+        info = Info(accept=accept, accept_stat=a, logtarget=new_state.logtarget)
+        return new_state, info
