@@ -13,7 +13,18 @@ from klara_tpu.core.target import Target, bounded_target
 from klara_tpu.jobs.chain import Chain
 from klara_tpu.jobs.job import MCJob, run
 from klara_tpu.jobs.range import MCRange
-from klara_tpu.samplers import HMC, MALA, MH
+from klara_tpu.samplers import (
+    AM,
+    AMWG,
+    ARS,
+    HMC,
+    MALA,
+    MH,
+    NUTS,
+    RAM,
+    SMMALA,
+    SliceSampler,
+)
 from klara_tpu.tuners import (
     AcceptanceRateTuner,
     DualAveragingTuner,
@@ -32,8 +43,15 @@ __all__ = [
     "MCRange",
     "run",
     "MH",
+    "AM",
+    "RAM",
+    "AMWG",
+    "ARS",
     "MALA",
+    "SMMALA",
     "HMC",
+    "NUTS",
+    "SliceSampler",
     "VanillaTuner",
     "AcceptanceRateTuner",
     "DualAveragingTuner",

@@ -67,13 +67,15 @@ class Sampler:
     def default_step_size(self):
         return 1.0
 
-    # which statistic the tuner consumes: 'accept' (0/1) or 'accept_stat'
-    tuner_statistic: str = dataclasses.field(default="accept", init=False, repr=False)
+    # Which statistic the tuner consumes: 'accept' (0/1) or 'accept_stat'.
+    # Deliberately *unannotated* class attributes (not dataclass fields) so
+    # subclasses can override with a plain assignment.
+    tuner_statistic = "accept"
 
-    # samplers that embed their own adaptation (AM covariance, RAM rank-1
+    # Samplers that embed their own adaptation (AM covariance, RAM rank-1
     # updates, AMWG per-coordinate logσ) set this so the job driver skips
-    # the external tuner update
-    self_tuning: bool = dataclasses.field(default=False, init=False, repr=False)
+    # the external tuner update.
+    self_tuning = False
 
     def default_tuner(self) -> Tuner:
         return VanillaTuner()

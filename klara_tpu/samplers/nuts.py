@@ -1,0 +1,289 @@
+"""No-U-Turn Sampler (NUTS), iterative TPU-native formulation.
+
+Reference: src/samplers/NUTS.jl (struct: leapstep=0.1, maxδ=1000,
+maxndoublings=5; `uturn` at :392-396; recursive `build_tree!` at
+:398-949) and kernels src/samplers/iterate/NUTS.jl:230-457.  Klara
+implements the original Hoffman-Gelman (2014) slice-variable algorithm:
+
+  * log-slice variable u = log(rand()) + H₀  (iterate/NUTS.jl:261);
+  * doubling loop `while s && j < maxndoublings`: pick direction v = ±1,
+    build a depth-j subtree from the corresponding tree end; if the
+    subtree is valid, replace the proposal with prob n'/n; accumulate
+    n += n'; stop on divergence (u ≥ maxδ + H') or u-turn;
+  * leaf counts n' = 𝕀(u ≤ H'), validity s' = u < maxδ + H'
+    (NUTS.jl:420-421);
+  * dual-averaging variant accumulates (a, na) = (Σ min(1, e^{H'−H₀}), #leaves)
+    through the tree and adapts ε with a/na (iterate/NUTS.jl:433-437);
+  * diagnostics: accept (proposal replaced), ndoublings, a, na
+    (iterate/NUTS.jl:392-409).
+
+The recursion cannot run under `jit`/`vmap`, so the tree is built
+**iteratively**: the doubling loop is a `lax.while_loop`, and each
+depth-j subtree is itself a `lax.while_loop` over its 2^j leapfrog
+leaves with
+
+  * *progressive sampling*: at leaf ℓ the running subtree candidate is
+    replaced with prob n_ℓ / (n_acc + n_ℓ) — distributionally identical
+    to Klara's pairwise binary merges (both draw a leaf with probability
+    proportional to its count);
+  * *checkpoint-stack u-turn detection*: even-indexed leaves are stored
+    in a popcount-indexed stack of ≤ max_doublings+1 slots; after each
+    odd leaf k, the u-turn criterion is evaluated against the stored
+    left ends of every completed power-of-two subtree ending at k
+    (sizes 2^m for each m with 2^m | (k+1)).  This reproduces exactly
+    the set of (left, right) u-turn checks performed by the reference's
+    recursive merges.
+
+Per-chain trajectory lengths diverge; under `vmap` each while_loop runs
+to the batch maximum — the correct SIMD execution model on TPU (all
+lanes retire when the slowest chain's tree terminates).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from klara_tpu.core.target import Target
+from klara_tpu.samplers.base import Info, Sampler
+from klara_tpu.samplers.hamiltonian import (
+    PhasePoint,
+    find_reasonable_step_size,
+    hamiltonian,
+    leapfrog_step,
+)
+from klara_tpu.tuners.tuners import DualAveragingTuner, TuneState
+
+
+class NUTSState(NamedTuple):
+    position: jax.Array
+    logtarget: jax.Array
+    gradlogtarget: jax.Array
+    tune: TuneState
+
+
+class _Candidate(NamedTuple):
+    position: jax.Array
+    logtarget: jax.Array
+    gradlogtarget: jax.Array
+
+
+def _popcount(k, nbits):
+    c = jnp.zeros_like(k)
+    for i in range(nbits):
+        c = c + ((k >> i) & 1)
+    return c
+
+
+def _trailing_zeros(k, nbits):
+    """Number of trailing zero bits of k (k >= 1)."""
+    tz = jnp.zeros_like(k)
+    done = jnp.zeros_like(k, dtype=bool)
+    for i in range(nbits):
+        bit = (k >> i) & 1
+        done = done | (bit == 1)
+        tz = tz + jnp.where(done, 0, 1)
+    return tz
+
+
+def _turn(pos_hi, mom_hi, pos_lo, mom_lo, v):
+    """U-turn criterion between trajectory-ordered ends (reference
+    NUTS.jl:392-396).  `hi` is the later point along build direction v;
+    d = (θ₊ − θ₋) with chronological orientation restored via v."""
+    d = v * (pos_hi - pos_lo)
+    return (jnp.dot(d, mom_hi) < 0.0) | (jnp.dot(d, mom_lo) < 0.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class NUTS(Sampler):
+    leapstep: float = 0.1
+    maxdelta: float = 1000.0
+    max_doublings: int = 5
+
+    tuner_statistic = "accept_stat"
+
+    def default_step_size(self):
+        return self.leapstep
+
+    def init(self, key, target: Target, position, step_size=None, tuner=None):
+        position = jnp.asarray(position)
+        lt, grad = target.logdensity_and_grad(position)
+        tuner = tuner or self.default_tuner()
+        if step_size is not None:
+            step0 = jnp.asarray(step_size, position.dtype)
+        elif isinstance(tuner, DualAveragingTuner):
+            step0 = find_reasonable_step_size(key, target, position)
+        else:
+            step0 = jnp.asarray(self.leapstep, position.dtype)
+        tune = tuner.init(step0)
+        if isinstance(tuner, DualAveragingTuner):
+            tune = tuner.set_mu_from_step(tune)
+        return NUTSState(position, lt, grad, tune)
+
+    # ------------------------------------------------------------ subtree
+    def _build_subtree(self, target, key, z_start: PhasePoint, v, depth, eps, u, h0):
+        """Iteratively build a subtree of 2^depth leaves in direction v.
+
+        Returns (z_end, candidate, n', s', a', na', divergent')."""
+        nbits = self.max_doublings + 2
+        f = z_start.position.dtype
+
+        n_leaves = jnp.left_shift(jnp.int32(1), depth)
+        ckpt_pos = jnp.zeros((self.max_doublings + 1,) + z_start.position.shape, f)
+        ckpt_mom = jnp.zeros_like(ckpt_pos)
+
+        cand0 = _Candidate(z_start.position, z_start.logtarget, z_start.gradlogtarget)
+
+        def cond(carry):
+            k, _, _, _, s, _, _, _, _, _, _ = carry
+            return (k < n_leaves) & s
+
+        def body(carry):
+            k, z, cand, n_acc, s, a, na, div, cp, cm, key = carry
+            z = leapfrog_step(target, z, v * eps)
+            h = hamiltonian(z.logtarget, z.momentum)
+            h = jnp.where(jnp.isnan(h), -jnp.inf, h)
+
+            n_leaf = (u <= h).astype(jnp.int32)
+            s_leaf = u < self.maxdelta + h  # divergence bound (NUTS.jl:421)
+
+            key, k_take = jax.random.split(key)
+            denom = (n_acc + n_leaf).astype(f)
+            take = (n_leaf > 0) & (
+                jax.random.uniform(k_take, dtype=f) * denom < n_leaf.astype(f)
+            )
+            cand = jax.tree.map(
+                lambda new, old: jnp.where(take, new, old),
+                _Candidate(z.position, z.logtarget, z.gradlogtarget),
+                cand,
+            )
+            n_acc = n_acc + n_leaf
+            a = a + jnp.minimum(1.0, jnp.exp(jnp.minimum(h - h0, 0.0)))
+            na = na + 1
+
+            # --- checkpointed u-turn detection -------------------------
+            is_even = (k % 2) == 0
+            slot = _popcount(k, nbits)
+            cp = jnp.where(
+                is_even,
+                cp.at[jnp.clip(slot, 0, self.max_doublings)].set(z.position),
+                cp,
+            )
+            cm = jnp.where(
+                is_even,
+                cm.at[jnp.clip(slot, 0, self.max_doublings)].set(z.momentum),
+                cm,
+            )
+
+            turned = jnp.asarray(False)
+            big_m = _trailing_zeros(k + 1, nbits)  # check sizes 2^1..2^big_m
+            for m in range(1, self.max_doublings + 1):
+                active = (~is_even) & (m <= big_m)
+                left = k + 1 - (1 << m)
+                lslot = jnp.clip(_popcount(left, nbits), 0, self.max_doublings)
+                t_m = _turn(z.position, z.momentum, cp[lslot], cm[lslot], v)
+                turned = turned | (active & t_m)
+
+            s = s_leaf & ~turned
+            div = div | ~s_leaf
+            return (k + 1, z, cand, n_acc, s, a, na, div, cp, cm, key)
+
+        init = (
+            jnp.int32(0),
+            z_start,
+            cand0,
+            jnp.int32(0),
+            jnp.asarray(True),
+            jnp.zeros((), f),
+            jnp.int32(0),
+            jnp.asarray(False),
+            ckpt_pos,
+            ckpt_mom,
+            key,
+        )
+        k, z, cand, n_acc, s, a, na, div, _, _, _ = jax.lax.while_loop(cond, body, init)
+        return z, cand, n_acc, s, a, na, div
+
+    # --------------------------------------------------------------- step
+    def step(self, key, state: NUTSState, target: Target):
+        k_mom, k_slice, k_loop = jax.random.split(key, 3)
+        x, lt, grad = state.position, state.logtarget, state.gradlogtarget
+        eps = state.tune.step
+        f = x.dtype
+
+        p0 = jax.random.normal(k_mom, x.shape, f)
+        h0 = hamiltonian(lt, p0)
+        # log-slice variable u = log(rand()) + H0 (iterate/NUTS.jl:261)
+        u = jnp.log(jax.random.uniform(k_slice, dtype=f)) + h0
+
+        z0 = PhasePoint(x, p0, lt, grad)
+        cand0 = _Candidate(x, lt, grad)
+
+        def cond(carry):
+            _, _, _, _, n, s, j, _, _, _, _ = carry
+            return s & (j < self.max_doublings)
+
+        def body(carry):
+            key, z_minus, z_plus, cand, n, s, j, a, na, updated, div = carry
+            key, k_v, k_sub, k_swap = jax.random.split(key, 4)
+            v = jnp.where(jax.random.bernoulli(k_v), 1.0, -1.0).astype(f)
+
+            start = jax.tree.map(
+                lambda m, p: jnp.where(v < 0, m, p), z_minus, z_plus
+            )
+            z_end, cand_p, n_p, s_p, a_p, na_p, div_p = self._build_subtree(
+                target, k_sub, start, v, j, eps, u, h0
+            )
+            z_minus = jax.tree.map(
+                lambda e, old: jnp.where(v < 0, e, old), z_end, z_minus
+            )
+            z_plus = jax.tree.map(
+                lambda e, old: jnp.where(v < 0, old, e), z_end, z_plus
+            )
+
+            # replace proposal with prob n'/n (iterate/NUTS.jl:361)
+            swap = s_p & (
+                jax.random.uniform(k_swap, dtype=f) < n_p.astype(f) / n.astype(f)
+            )
+            cand = jax.tree.map(lambda new, old: jnp.where(swap, new, old), cand_p, cand)
+            updated = updated | swap
+
+            n = n + n_p
+            j = j + 1
+            s = s_p & ~_turn(
+                z_plus.position, z_plus.momentum, z_minus.position, z_minus.momentum, 1.0
+            )
+            a = a + a_p
+            na = na + na_p
+            div = div | div_p
+            return (key, z_minus, z_plus, cand, n, s, j, a, na, updated, div)
+
+        init = (
+            k_loop,
+            z0,
+            z0,
+            cand0,
+            jnp.int32(1),
+            jnp.asarray(True),
+            jnp.int32(0),
+            jnp.zeros((), f),
+            jnp.int32(0),
+            jnp.asarray(False),
+            jnp.asarray(False),
+        )
+        _, _, _, cand, n, s, j, a, na, updated, div = jax.lax.while_loop(
+            cond, body, init
+        )
+
+        new_state = NUTSState(cand.position, cand.logtarget, cand.gradlogtarget, state.tune)
+        accept_stat = a / jnp.maximum(na, 1).astype(f)
+        info = Info(
+            accept=updated,
+            accept_stat=accept_stat,
+            logtarget=cand.logtarget,
+            extras={"ndoublings": j, "a": a, "na": na, "divergent": div},
+        )
+        return new_state, info

@@ -224,11 +224,15 @@ class RobertsRosenthalTuner(Tuner):
     def _extra_init(self, step0):
         return RobertsRosenthalExtra(batch=jnp.int32(0))
 
-    def update(self, tune: TuneState, accept, accept_stat, burnin: int) -> TuneState:
+    def update(self, tune: TuneState, accept, accept_stat, burnin: int = 0) -> TuneState:
+        # NOTE: unlike the burnin-gated tuners, Roberts-Rosenthal adaptation
+        # never stops (diminishing δ ensures ergodicity) — matching the
+        # reference, whose AMWG tune! is not burnin-gated
+        # (src/samplers/iterate/AMWG.jl:77-87).
         f = tune.step.dtype
         accepted = tune.accepted + jnp.asarray(accept, f)  # per-coordinate vector
         proposed = tune.proposed + 1
-        at_boundary = (proposed % self.period == 0) & (tune.totproposed < burnin)
+        at_boundary = proposed % self.period == 0
         rate = accepted / jnp.maximum(proposed, 1).astype(f)
 
         batch = tune.extra.batch + jnp.asarray(at_boundary, jnp.int32)

@@ -1,0 +1,100 @@
+"""Statistical tests for MALA / HMC / NUTS on correlated Gaussian targets.
+
+Reference workloads: README.md:153-198 (MALA + AcceptanceRateTuner) and
+the swiss examples (doc/examples/swiss/*) — promoted to asserted
+tolerances (SURVEY.md §4: "posterior moment checks with MCSE-scaled
+tolerances").
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import klara_tpu as kt
+
+
+RHO = 0.8
+COV = np.array([[1.0, RHO], [RHO, 1.0]], dtype=np.float32)
+PREC = np.linalg.inv(COV).astype(np.float32)
+
+
+def corr_normal_target():
+    prec = jnp.asarray(PREC)
+    return kt.Target(logdensity_fn=lambda x: -0.5 * x @ prec @ x, dim=2)
+
+
+def _check_moments(chain, atol_mean=0.08, atol_cov=0.12):
+    flat = np.asarray(chain.flat("value"))
+    np.testing.assert_allclose(flat.mean(axis=0), np.zeros(2), atol=atol_mean)
+    np.testing.assert_allclose(np.cov(flat.T), COV, atol=atol_cov)
+
+
+def test_mala_acceptance_rate_tuner():
+    """README MALA workflow: acceptance tuned towards 60%."""
+    job = kt.MCJob(
+        corr_normal_target(),
+        kt.MALA(driftstep=0.5),
+        kt.MCRange(n_steps=6000, burnin=2000),
+        tuner=kt.AcceptanceRateTuner(targetrate=0.6),
+        n_chains=32,
+    )
+    chain = job.run(jax.random.key(0), jnp.zeros(2))
+    _check_moments(chain)
+    rate = float(kt.stats.acceptance(chain))
+    assert abs(rate - 0.6) < 0.1
+
+
+def test_hmc_dual_averaging():
+    job = kt.MCJob(
+        corr_normal_target(),
+        kt.HMC(leapstep=0.1, nleaps=10),
+        kt.MCRange(n_steps=4000, burnin=1000),
+        tuner=kt.DualAveragingTuner(targetrate=0.8, nadapt=1000),
+        n_chains=32,
+    )
+    chain = job.run(jax.random.key(1), jnp.zeros(2))
+    _check_moments(chain)
+    rate = float(kt.stats.acceptance(chain))
+    assert abs(rate - 0.8) < 0.12
+
+
+def test_nuts_correlated_gaussian():
+    job = kt.MCJob(
+        corr_normal_target(),
+        kt.NUTS(leapstep=0.1),
+        kt.MCRange(n_steps=3000, burnin=1000),
+        tuner=kt.DualAveragingTuner(targetrate=0.8, nadapt=1000),
+        n_chains=32,
+        diagnostics=("accept", "accept_stat", "ndoublings", "divergent"),
+    )
+    chain = job.run(jax.random.key(2), jnp.zeros(2))
+    _check_moments(chain)
+    # dual averaging should land near the target acceptance statistic
+    a = float(jnp.mean(chain["accept_stat"]))
+    assert abs(a - 0.8) < 0.1
+    assert float(jnp.mean(chain["divergent"])) < 0.01
+    assert float(jnp.mean(chain["ndoublings"])) >= 1.0
+
+
+def test_nuts_hard_target_anisotropic():
+    """Strongly anisotropic Gaussian: NUTS must adapt trajectory length."""
+    scales = jnp.array([0.1, 1.0, 10.0], dtype=jnp.float32)
+
+    target = kt.Target(
+        logdensity_fn=lambda x: -0.5 * jnp.sum(jnp.square(x / scales)), dim=3
+    )
+    job = kt.MCJob(
+        target,
+        kt.NUTS(max_doublings=8),
+        kt.MCRange(n_steps=3000, burnin=1500),
+        tuner=kt.DualAveragingTuner(targetrate=0.8, nadapt=1500),
+        n_chains=32,
+        diagnostics=("accept", "ndoublings"),
+    )
+    chain = job.run(jax.random.key(3), jnp.zeros(3))
+    flat = np.asarray(chain.flat("value"))
+    sd = flat.std(axis=0)
+    np.testing.assert_allclose(sd, np.asarray(scales), rtol=0.25)
+    # long trajectories needed for the wide direction
+    assert float(jnp.mean(chain["ndoublings"])) > 2.0
