@@ -65,9 +65,14 @@ def _fresh_counters(step, like=None):
 
 @dataclasses.dataclass(frozen=True)
 class Tuner:
-    """Base: no-op tuner (VanillaMCTuner without verbosity)."""
+    """Base: no-op tuner (VanillaMCTuner without verbosity).
 
-    period: int = 100
+    ``period`` is keyword-only so subclass positional signatures match the
+    reference ctors (e.g. DualAveragingTuner(targetrate, nadapt) mirrors
+    DualAveragingMCTuner(targetrate, nadapt), src/tuners/
+    DualAveragingMCTuner.jl:83-93)."""
+
+    period: int = dataclasses.field(default=100, kw_only=True)
 
     def init(self, step0) -> TuneState:
         step0 = jnp.asarray(step0)
@@ -219,7 +224,7 @@ class RobertsRosenthalTuner(Tuner):
     """
 
     targetrate: float = 0.44
-    period: int = 50
+    period: int = dataclasses.field(default=50, kw_only=True)
 
     def _extra_init(self, step0):
         return RobertsRosenthalExtra(batch=jnp.int32(0))
