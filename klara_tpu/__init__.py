@@ -11,8 +11,18 @@ vectorised over thousands of chains per chip and sharded over TPU meshes.
 
 from klara_tpu.core.target import Target, bounded_target
 from klara_tpu.jobs.chain import Chain
+from klara_tpu.jobs.gibbs import GibbsChains, GibbsJob, Nested
 from klara_tpu.jobs.job import MCJob, run
 from klara_tpu.jobs.range import MCRange
+from klara_tpu.models import (
+    Constant,
+    Data,
+    GenericModel,
+    GibbsParameter,
+    Hyperparameter,
+    Transformation,
+    likelihood_model,
+)
 from klara_tpu.samplers import (
     AM,
     AMWG,
@@ -42,6 +52,16 @@ __all__ = [
     "MCJob",
     "MCRange",
     "run",
+    "GibbsJob",
+    "GibbsChains",
+    "Nested",
+    "GenericModel",
+    "GibbsParameter",
+    "Constant",
+    "Hyperparameter",
+    "Data",
+    "Transformation",
+    "likelihood_model",
     "MH",
     "AM",
     "RAM",
