@@ -77,6 +77,9 @@ class Target:
     loglikelihood_fn: Optional[LogDensityFn] = None
     logprior_fn: Optional[LogDensityFn] = None
     grad_fn: Optional[Callable] = None
+    # fused value+gradient (e.g. a Pallas kernel); overrides the
+    # grad_fn / value_and_grad default when present
+    value_and_grad_fn: Optional[Callable] = None
     tensor_fn: Optional[Callable] = None
     dtensor_fn: Optional[Callable] = None
     name: str = "target"
@@ -139,6 +142,8 @@ class Target:
     def logdensity_and_grad(self, x, *args):
         """Fused value+gradient — reference `uptogradlogtarget!`
         (BasicContMuvParameter.jl:263-323)."""
+        if self.value_and_grad_fn is not None:
+            return self.value_and_grad_fn(x, *args)
         if self.grad_fn is not None:
             return self.logdensity_fn(x, *args), self.grad_fn(x, *args)
         return jax.value_and_grad(self.logdensity_fn)(x, *args)

@@ -1,0 +1,62 @@
+"""In-loop host streaming of draws (reference iostream destination).
+
+Reference: outopts ``:destination=>:iostream`` streams each saved draw to
+per-field CSV files during the run (src/jobs/BasicMCJob.jl:203-208,
+src/iostreams/), avoiding memory pressure for long chains.
+
+TPU-native mechanism: `jax.experimental.io_callback` (ordered) invoked
+from inside the compiled scan — the device pushes each saved draw to the
+host asynchronously; the host appends to open file handles.  This is the
+SURVEY.md §2.2 "Host CSV writer via io_callback" component.
+
+Cost model: one host round-trip per SAVED draw (thinning reduces traffic);
+use the in-memory trace (destination='nstate') when draws fit on device.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class StreamingWriter:
+    """Appends rows of draws to one file per field."""
+
+    def __init__(self, filepath: str, filesuffix: str = "csv", flush: bool = False):
+        self.filepath = filepath
+        self.filesuffix = filesuffix
+        self.flush = flush
+        self._handles: Dict[str, object] = {}
+        os.makedirs(filepath, exist_ok=True)
+
+    def _handle(self, name):
+        if name not in self._handles:
+            self._handles[name] = open(
+                os.path.join(self.filepath, f"{name}.{self.filesuffix}"), "a"
+            )
+        return self._handles[name]
+
+    def append(self, do_save, fields: Dict[str, np.ndarray]) -> np.int32:
+        """Host-side callback body: append one row per field when do_save."""
+        if bool(do_save):
+            for name, arr in fields.items():
+                arr = np.asarray(arr, dtype=np.float64)
+                row = ",".join(f"{v:.9g}" for v in arr.reshape(-1))
+                h = self._handle(name)
+                h.write(row + "\n")
+                if self.flush:
+                    h.flush()
+        return np.int32(0)
+
+    def close(self):
+        for h in self._handles.values():
+            h.close()
+        self._handles.clear()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

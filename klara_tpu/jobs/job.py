@@ -104,11 +104,21 @@ class MCJob:
     chains_axis: str = "chains"
     pooled_tuning: bool = False
     step_size: Optional[float] = None
+    # output destination (reference outopts[:destination], jobs/jobs.jl:9-46):
+    # 'nstate' = device trace buffers, 'csv' = stream draws to per-field
+    # files via io_callback, 'none' = keep only the final state
+    destination: str = "nstate"
+    filepath: Optional[str] = None
+    flush: bool = False
 
     def __post_init__(self):
         if self.tuner is None:
             self.tuner = self.sampler.default_tuner()
-        self._compiled = None
+        if self.destination not in ("nstate", "csv", "none"):
+            raise ValueError(f"unknown destination {self.destination!r}")
+        if self.destination == "csv" and not self.filepath:
+            raise ValueError("destination='csv' requires filepath")
+        self._writer = None
 
     # ------------------------------------------------------------------ init
     def _init_states(self, key, x0):
@@ -186,6 +196,31 @@ class MCJob:
                 return samples, diags
 
             buffers = jax.lax.cond(do_save, write, lambda b: b, buffers)
+
+            if self._writer is not None:
+                from jax.experimental import io_callback
+
+                fields = {
+                    name: jax.vmap(
+                        lambda s, nf: _field_value(name, s, nf, target)
+                    )(states, infos)
+                    for name in self.monitor
+                }
+                fields.update(
+                    {
+                        name: jax.vmap(lambda s, nf: _diag_value(name, s, nf))(
+                            states, infos
+                        )
+                        for name in self.diagnostics
+                    }
+                )
+                io_callback(
+                    self._writer.append,
+                    jax.ShapeDtypeStruct((), jnp.int32),
+                    do_save,
+                    fields,
+                    ordered=True,
+                )
             return (states, buffers), None
 
         return scan_body
@@ -232,7 +267,10 @@ class MCJob:
         example_info = jax.tree.map(
             lambda sd: jnp.zeros(sd.shape, sd.dtype), infos_shape
         )
-        buffers = self._alloc_buffers(states, example_info)
+        if self.destination == "nstate":
+            buffers = self._alloc_buffers(states, example_info)
+        else:
+            buffers = ({}, {})
 
         scan_body = self._scan_fn(chain_keys)
         (states, buffers), _ = jax.lax.scan(
@@ -247,6 +285,10 @@ class MCJob:
         Counterpart of reference ``run(::BasicMCJob)``
         (src/jobs/BasicMCJob.jl:212-244).
         """
+        if self.destination == "csv" and self._writer is None:
+            from klara_tpu.io.stream import StreamingWriter
+
+            self._writer = StreamingWriter(self.filepath, flush=self.flush)
         run_jit = jax.jit(self._run)
         if self.mesh is not None:
             x0 = jnp.asarray(x0)
@@ -256,7 +298,11 @@ class MCJob:
                 self.mesh, P(self.chains_axis, *([None] * (x0.ndim - 1)))
             )
             x0 = jax.device_put(x0, sharding)
-        return run_jit(key, x0)
+        chain = run_jit(key, x0)
+        if self._writer is not None:
+            jax.block_until_ready(chain.final_state)
+            self._writer.close()
+        return chain
 
     # convenient resume: continue sampling from a previous chain's final state
     def resume(self, key, chain: Chain) -> Chain:

@@ -1,0 +1,200 @@
+"""Fused Pallas kernel: batched logistic-regression log-density + gradient.
+
+The hot op of the north-star benchmark (BASELINE.json: HMC on 100-dim
+logistic regression).  Per leapfrog step, every chain c needs
+
+    value_c = p_c·(Xᵀy) − Σ_n softplus(x_n·p_c) − ‖p_c‖²/(2λ) − ½d·log(2πλ)
+    grad_c  = Xᵀy − Xᵀσ(X p_c) − p_c/λ
+
+The naive XLA path materialises the (n_chains, n_data) logit matrix in
+HBM twice (forward + hand-written grad) — HBM-bound.  This kernel tiles
+chains × data onto the MXU and keeps logits entirely in VMEM:
+
+    grid = (chain_tiles, data_tiles); for each chain tile the data-tile
+    loop accumulates Σ softplus(Z) (lane-partials) and σ(Z)·X in VMEM
+    scratch; Z = P·Xᵀ and σ(Z)·X both hit the MXU.
+
+y enters only through the precomputed vector v = Xᵀy (the y·z term is
+p·v), so the kernel needs just P and X.
+
+Zero-padding correctness: padded D columns are zero in both P and X, so
+they change nothing; padded N rows give z = 0 contributing softplus(0) =
+log 2 per row to every chain — an exact constant subtracted in the
+wrapper (and irrelevant to MH ratios anyway); σ(0)·0-row contributes 0
+to the gradient.
+
+Integration: ``make_logreg_target`` wraps the kernel in
+`jax.custom_batching.custom_vmap`, so the SAME per-chain
+``target.logdensity_and_grad`` used by every sampler dispatches to the
+fused batched kernel under the job driver's `vmap` — samplers need no
+changes.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # TPU-only import guard (CPU tests use the XLA fallback)
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover
+    pltpu = None
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _kernel(p_ref, x_ref, sp_ref, sgx_ref, acc_sp, acc_sgx):
+    ni = pl.program_id(1)
+
+    @pl.when(ni == 0)
+    def _():
+        acc_sp[:] = jnp.zeros_like(acc_sp)
+        acc_sgx[:] = jnp.zeros_like(acc_sgx)
+
+    p = p_ref[:]  # (TC, Dp)
+    x = x_ref[:]  # (TN, Dp)
+    # Z = P Xᵀ on the MXU
+    z = jax.lax.dot_general(
+        p, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (TC, TN)
+    sp = jax.nn.softplus(z)
+    tc, tn = sp.shape
+    # lane-partial softplus sums: (TC, TN) -> (TC, 128)
+    acc_sp[:] += jnp.sum(sp.reshape(tc, tn // 128, 128), axis=1)
+    # σ(Z) X on the MXU: (TC, TN) @ (TN, Dp)
+    acc_sgx[:] += jax.lax.dot_general(
+        jax.nn.sigmoid(z), x, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ni == pl.num_programs(1) - 1)
+    def _():
+        sp_ref[:] = acc_sp[:]
+        sgx_ref[:] = acc_sgx[:]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_c", "tile_n"))
+def _fused_core(P, X, tile_c=256, tile_n=512):
+    C, Dp = P.shape
+    N, _ = X.shape
+    grid = (C // tile_c, N // tile_n)
+    sp, sgx = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_c, Dp), lambda ci, ni: (ci, 0)),
+            pl.BlockSpec((tile_n, Dp), lambda ci, ni: (ni, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_c, 128), lambda ci, ni: (ci, 0)),
+            pl.BlockSpec((tile_c, Dp), lambda ci, ni: (ci, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((C, 128), jnp.float32),
+            jax.ShapeDtypeStruct((C, Dp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_c, 128), jnp.float32),
+            pltpu.VMEM((tile_c, Dp), jnp.float32),
+        ],
+    )(P, X)
+    return sp, sgx
+
+
+def fused_logreg_value_grad(P, X, y, prior_var, tile_c=256, tile_n=512):
+    """Batched (C, D) -> value (C,), grad (C, D) via the Pallas kernel."""
+    P = jnp.asarray(P, jnp.float32)
+    X = jnp.asarray(X, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    C, D = P.shape
+    N = X.shape[0]
+    lam = jnp.float32(prior_var)
+
+    Dp = _round_up(D, 128)
+    Cp = _round_up(C, tile_c)
+    Np = _round_up(N, tile_n)
+    n_pad = Np - N
+
+    Ppad = jnp.zeros((Cp, Dp), jnp.float32).at[:C, :D].set(P)
+    Xpad = jnp.zeros((Np, Dp), jnp.float32).at[:N, :D].set(X)
+
+    sp_lanes, sgx = _fused_core(Ppad, Xpad, tile_c=tile_c, tile_n=tile_n)
+    softplus_sum = jnp.sum(sp_lanes[:C], axis=-1) - n_pad * math.log(2.0)
+    sgx = sgx[:C, :D]
+    P = P[:C]
+
+    v = X.T @ y  # (D,)
+    const = 0.5 * D * jnp.log(2.0 * jnp.pi * lam)
+    value = P @ v - softplus_sum - 0.5 * jnp.sum(P * P, axis=-1) / lam - const
+    grad = v[None, :] - sgx - P / lam
+    return value, grad
+
+
+def _xla_value_grad_batched(P, X, y, prior_var):
+    """Pure-XLA fallback (also the CPU test path)."""
+    lam = jnp.asarray(prior_var, P.dtype)
+    D = P.shape[-1]
+    logits = P @ X.T                      # (C, N)
+    v = X.T @ y
+    const = 0.5 * D * jnp.log(2.0 * jnp.pi * lam)
+    value = (
+        P @ v
+        - jnp.sum(jax.nn.softplus(logits), axis=-1)
+        - 0.5 * jnp.sum(P * P, axis=-1) / lam
+        - const
+    )
+    grad = v[None, :] - jax.nn.sigmoid(logits) @ X - P / lam
+    return value, grad
+
+
+def make_logreg_target(X, y, prior_var: float = 100.0, use_pallas=None):
+    """Build a logistic-regression Target whose per-chain
+    ``logdensity_and_grad`` dispatches to the fused batched kernel under
+    `vmap` (via custom_vmap).  Drop-in replacement for
+    klara_tpu.models.examples.logistic_regression_target."""
+    from klara_tpu.core.target import Target
+
+    X = jnp.asarray(X, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    D = X.shape[1]
+    lam = float(prior_var)
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",) and pltpu is not None
+
+    def logdensity(p):
+        logits = X @ p
+        const = 0.5 * D * jnp.log(2.0 * jnp.pi * jnp.asarray(lam, p.dtype))
+        return (
+            jnp.dot(logits, y)
+            - jnp.sum(jax.nn.softplus(logits))
+            - 0.5 * jnp.dot(p, p) / lam
+            - const
+        )
+
+    @jax.custom_batching.custom_vmap
+    def value_and_grad_one(p):
+        value, grad = _xla_value_grad_batched(p[None, :], X, y, lam)
+        return value[0], grad[0]
+
+    @value_and_grad_one.def_vmap
+    def _rule(axis_size, in_batched, P):
+        assert in_batched[0]
+        if use_pallas:
+            value, grad = fused_logreg_value_grad(P, X, y, lam)
+        else:
+            value, grad = _xla_value_grad_batched(P, X, y, lam)
+        return (value, grad), (True, True)
+
+    return Target(
+        logdensity_fn=logdensity,
+        dim=D,
+        value_and_grad_fn=value_and_grad_one,
+        name="logreg_pallas" if use_pallas else "logreg_xla",
+    )
