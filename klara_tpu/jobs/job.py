@@ -110,6 +110,10 @@ class MCJob:
     destination: str = "nstate"
     filepath: Optional[str] = None
     flush: bool = False
+    # host-side burnin progress reports every `progress_period` steps —
+    # the reference tuner `verbose` flag (src/samplers/iterate/MH.jl:126-140)
+    verbose: bool = False
+    progress_period: int = 100
 
     def __post_init__(self):
         if self.tuner is None:
@@ -119,6 +123,30 @@ class MCJob:
         if self.destination == "csv" and not self.filepath:
             raise ValueError("destination='csv' requires filepath")
         self._writer = None
+
+    # ------------------------------------------------------------- from model
+    @classmethod
+    def from_model(cls, model, sampler, mcrange, v0: dict, pkey: Optional[str] = None, **kwargs):
+        """Build a single-parameter job from a model graph + initial values —
+        the reference's ``BasicMCJob(model, sampler, mcrange, v0)`` signature
+        (src/jobs/BasicMCJob.jl:156-185).  Non-parameter vertices take their
+        (fixed) values from ``v0``; returns (job, x0).
+        """
+        params = model.parameters
+        if pkey is None:
+            if len(params) != 1:
+                raise ValueError(
+                    "model has multiple parameters; pass pkey to choose one "
+                    "(or use GibbsJob)"
+                )
+            pkey = params[0].key
+        param = model[pkey]
+        consts = {k: jnp.asarray(v) for k, v in v0.items() if k != pkey}
+        target = Target(
+            logdensity_fn=lambda x: param.conditional_logdensity(x, consts),
+            name=pkey,
+        )
+        return cls(target, sampler, mcrange, **kwargs), jnp.asarray(v0[pkey])
 
     # ------------------------------------------------------------------ init
     def _init_states(self, key, x0):
@@ -196,6 +224,27 @@ class MCJob:
                 return samples, diags
 
             buffers = jax.lax.cond(do_save, write, lambda b: b, buffers)
+
+            if self.verbose:
+                def report(step, rate, in_burnin):
+                    import numpy as _np
+
+                    phase = "burnin " if bool(in_burnin) else "sampling"
+                    print(
+                        f"[{self.target.name}] {phase} iteration {int(step)+1}: "
+                        f"{100*float(_np.mean(rate)):.2f} % acceptance rate"
+                    )
+
+                jax.lax.cond(
+                    (i + 1) % self.progress_period == 0,
+                    lambda: jax.debug.callback(
+                        report,
+                        i,
+                        jnp.mean(infos.accept.astype(jnp.float32)),
+                        i < burnin,
+                    ),
+                    lambda: None,
+                )
 
             if self._writer is not None:
                 from jax.experimental import io_callback

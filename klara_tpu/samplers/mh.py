@@ -55,7 +55,9 @@ class MH(Sampler):
         position = jnp.asarray(position)
         lt = target.logdensity(position)
         tuner = tuner or self.default_tuner()
-        tune = tuner.init(jnp.asarray(step_size if step_size is not None else 1.0, position.dtype))
+        # tune.step stays floating even for discrete (integer) positions
+        f = jnp.result_type(position.dtype, jnp.float32)
+        tune = tuner.init(jnp.asarray(step_size if step_size is not None else 1.0, f))
         return MHState(position, lt, tune)
 
     def _propose(self, key, x, scale):
