@@ -32,6 +32,17 @@ def datasets():
     return sorted(_MANIFEST)
 
 
+def examples():
+    """List the bundled runnable examples (reference data.jl `examples`,
+    manifest doc/examples/examples.csv)."""
+    root = os.path.join(os.path.dirname(os.path.dirname(_HERE)), "examples")
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        f[:-3] for f in os.listdir(root) if f.endswith(".py") and f != "run_examples.py"
+    )
+
+
 def dataset(name: str, *fields: str):
     """Load dataset arrays (reference data.jl `dataset`).
 

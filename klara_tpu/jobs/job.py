@@ -338,6 +338,7 @@ class MCJob:
             from klara_tpu.io.stream import StreamingWriter
 
             self._writer = StreamingWriter(self.filepath, flush=self.flush)
+        self._checkin(x0)
         run_jit = jax.jit(self._run)
         if self.mesh is not None:
             x0 = jnp.asarray(x0)
@@ -352,6 +353,20 @@ class MCJob:
             jax.block_until_ready(chain.final_state)
             self._writer.close()
         return chain
+
+    def _checkin(self, x0):
+        """Init-time validation — reference `checkin` + the per-sampler
+        `@assert isfinite(logtarget)` guards (src/jobs/BasicMCJob.jl:246-277,
+        src/samplers/HMC.jl:113-114): the initial value must be inside the
+        target's support."""
+        x0 = jnp.asarray(x0)
+        probe = x0[0] if (x0.ndim > 1 and x0.shape[0] == self.n_chains) else x0
+        lt0 = self.target.logdensity(probe)
+        if not bool(jnp.isfinite(lt0)):
+            raise ValueError(
+                f"log-target not finite at the initial value "
+                f"(logdensity={float(lt0)}): initial value out of support"
+            )
 
     # convenient resume: continue sampling from a previous chain's final state
     def resume(self, key, chain: Chain) -> Chain:

@@ -41,7 +41,8 @@ def normal_target(dim: int = 2, dtype=jnp.float32) -> Target:
 
 
 def logistic_regression_target(
-    X, y, prior_var: float = 100.0, analytical_grad: bool = True, dtype=jnp.float32
+    X, y, prior_var: float = 100.0, analytical_grad: bool = True,
+    fused: bool = True, dtype=jnp.float32
 ) -> Target:
     """Bayesian logistic regression with N(0, prior_var·I) prior.
 
@@ -49,6 +50,10 @@ def logistic_regression_target(
       loglik(p)   = (Xp)ᵀy − Σ log(1 + e^{Xp})
       logprior(p) = −½(pᵀp/λ + d·log(2πλ))
       grad        = Xᵀ(y − σ(Xp)) − p/λ
+
+    With ``fused`` (default), value+gradient are computed in ONE pass over
+    the logits (the hot path of HMC/NUTS/MALA; the separate
+    value-then-grad path evaluates X·p and its transcendentals twice).
     """
     X = jnp.asarray(X, dtype)
     y = jnp.asarray(y, dtype)
@@ -67,11 +72,22 @@ def logistic_regression_target(
         logits = X @ p
         return X.T @ (y - jax.nn.sigmoid(logits)) - p / lam
 
+    def value_and_grad(p):
+        logits = X @ p
+        value = (
+            jnp.dot(logits, y)
+            - jnp.sum(jax.nn.softplus(logits))
+            - 0.5 * (jnp.dot(p, p) / lam + d * jnp.log(2.0 * jnp.pi * lam))
+        )
+        g = X.T @ (y - jax.nn.sigmoid(logits)) - p / lam
+        return value, g
+
     return Target.from_loglik_logprior(
         loglikelihood,
         logprior,
         dim=d,
         grad_fn=grad if analytical_grad else None,
+        value_and_grad_fn=value_and_grad if fused else None,
     ).with_name("logreg")
 
 
