@@ -92,6 +92,7 @@ class GibbsJob:
         for key in self.sweep:
             if key not in self.model:
                 raise ValueError(f"sweep references unknown variable {key!r}")
+        self._run_jit = jax.jit(self._run)
 
     # ---------------------------------------------------------------- sweep
     def _block_update(self, var, values: Dict[str, Any], key):
@@ -197,7 +198,7 @@ class GibbsJob:
         missing = [v.key for v in self.model.vertices if v.key not in v0]
         if missing:
             raise ValueError(f"v0 missing values for {missing}")
-        return jax.jit(self._run)(key, v0)
+        return self._run_jit(key, v0)
 
     def to_dot(self) -> str:
         """Graphviz export of the job (reference `job2dot`,

@@ -123,6 +123,10 @@ class MCJob:
         if self.destination == "csv" and not self.filepath:
             raise ValueError("destination='csv' requires filepath")
         self._writer = None
+        # cache the compiled program: a fresh jax.jit(self._run) per call
+        # would re-trace (and possibly re-compile) every run
+        self._run_jit = jax.jit(self._run)
+        self._resume_jit = None
 
     # ------------------------------------------------------------- from model
     @classmethod
@@ -339,7 +343,7 @@ class MCJob:
 
             self._writer = StreamingWriter(self.filepath, flush=self.flush)
         self._checkin(x0)
-        run_jit = jax.jit(self._run)
+        run_jit = self._run_jit
         if self.mesh is not None:
             x0 = jnp.asarray(x0)
             if x0.ndim < 1 or x0.shape[0] != self.n_chains:
@@ -370,10 +374,7 @@ class MCJob:
 
     # convenient resume: continue sampling from a previous chain's final state
     def resume(self, key, chain: Chain) -> Chain:
-        states = chain.final_state
-        chain_keys = jax.random.split(key, self.n_chains)
-
-        def _resumed(states):
+        def _resumed(states, chain_keys):
             infos_shape = jax.eval_shape(
                 lambda s: jax.vmap(
                     lambda k, st: self.sampler.step(k, st, self.target)
@@ -383,7 +384,10 @@ class MCJob:
             example_info = jax.tree.map(
                 lambda sd: jnp.zeros(sd.shape, sd.dtype), infos_shape
             )
-            buffers = self._alloc_buffers(states, example_info)
+            if self.destination == "nstate":
+                buffers = self._alloc_buffers(states, example_info)
+            else:
+                buffers = ({}, {})
             scan_body = self._scan_fn(chain_keys)
             (states2, buffers), _ = jax.lax.scan(
                 scan_body, (states, buffers), jnp.arange(self.mcrange.n_steps)
@@ -391,7 +395,11 @@ class MCJob:
             samples, diags = buffers
             return Chain(samples=samples, diagnostics=diags, final_state=states2)
 
-        return jax.jit(_resumed)(states)
+        if self._resume_jit is None:
+            self._resume_jit = jax.jit(_resumed)
+        return self._resume_jit(
+            chain.final_state, jax.random.split(key, self.n_chains)
+        )
 
 
 def run(jobs, key, x0s):
