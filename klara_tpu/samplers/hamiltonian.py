@@ -45,12 +45,19 @@ def leapfrog_step(target: Target, pp: PhasePoint, eps) -> PhasePoint:
     return PhasePoint(x, p, lt, grad)
 
 
-def leapfrog(target: Target, pp: PhasePoint, eps, n_steps) -> PhasePoint:
-    """n_steps leapfrog steps; n_steps may be a traced integer."""
+def leapfrog(target: Target, pp: PhasePoint, eps, n_steps, unroll: int = 4) -> PhasePoint:
+    """n_steps leapfrog steps; n_steps may be a traced integer.
+
+    With a static trip count the loop is partially unrolled (TPU scalar-core
+    loop overhead is non-trivial relative to a small-model grad eval)."""
 
     def body(_, carry):
         return leapfrog_step(target, carry, eps)
 
+    if isinstance(n_steps, int):
+        return jax.lax.fori_loop(
+            0, n_steps, body, pp, unroll=min(unroll, n_steps)
+        )
     return jax.lax.fori_loop(0, n_steps, body, pp)
 
 
