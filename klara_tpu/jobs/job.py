@@ -114,6 +114,16 @@ class MCJob:
     # the reference tuner `verbose` flag (src/samplers/iterate/MH.jl:126-140)
     verbose: bool = False
     progress_period: int = 100
+    # ensemble mass-matrix adaptation (TPU-native, no reference
+    # counterpart): during burnin, every mass_period steps, set the
+    # samplers' diagonal inverse mass to the regularised cross-chain
+    # variance of the positions — with thousands of chains the ensemble
+    # variance is an instant estimator of the posterior scales, replacing
+    # Stan-style Welford windows; under mesh sharding the variance is a
+    # cross-chip collective.  Only samplers whose state carries
+    # ``inv_mass`` (HMC, NUTS) participate.
+    mass_adaptation: bool = False
+    mass_period: int = 100
 
     def __post_init__(self):
         if self.tuner is None:
@@ -197,6 +207,24 @@ class MCJob:
                     lambda t, a, s: tuner.update(t, a, s, burnin)
                 )(states.tune, accept, stat)
                 states = states._replace(tune=new_tune)
+
+            if self.mass_adaptation and hasattr(states, "inv_mass"):
+                # regularised ensemble variance (Stan-style shrinkage toward
+                # unit mass, weight set by the ensemble size)
+                n_c = states.position.shape[0]
+                var = jnp.var(states.position, axis=0, keepdims=True)
+                w = n_c / (n_c + 5.0)
+                new_inv_mass = jnp.broadcast_to(
+                    w * var + (1.0 - w) * 1e-3 + 1e-7, states.inv_mass.shape
+                )
+                adapt_now = (
+                    ((i + 1) % self.mass_period == 0)
+                    & (i + 1 >= self.mass_period)
+                    & (i < burnin)
+                )
+                states = states._replace(
+                    inv_mass=jnp.where(adapt_now, new_inv_mass, states.inv_mass)
+                )
 
             save_idx = (i - burnin) // thinning
             do_save = (i >= burnin) & ((i - burnin) % thinning == 0)

@@ -24,9 +24,23 @@ import jax.numpy as jnp
 from klara_tpu.core.target import Target
 
 
-def hamiltonian(logtarget, momentum):
-    """H(x, p) stored in log-target convention (higher is better)."""
-    return logtarget - 0.5 * jnp.sum(jnp.square(momentum))
+def hamiltonian(logtarget, momentum, inv_mass=None):
+    """H(x, p) stored in log-target convention (higher is better).
+
+    With a diagonal mass matrix M (a TPU-native extension — the reference
+    always uses identity mass, samplers.jl:101-103), the kinetic term is
+    ½ pᵀM⁻¹p."""
+    if inv_mass is None:
+        return logtarget - 0.5 * jnp.sum(jnp.square(momentum))
+    return logtarget - 0.5 * jnp.sum(inv_mass * jnp.square(momentum))
+
+
+def sample_momentum(key, position, inv_mass=None):
+    """p ~ N(0, M): z / sqrt(M⁻¹) for diagonal M."""
+    z = jax.random.normal(key, position.shape, position.dtype)
+    if inv_mass is None:
+        return z
+    return z * jax.lax.rsqrt(inv_mass)
 
 
 class PhasePoint(NamedTuple):
@@ -36,23 +50,27 @@ class PhasePoint(NamedTuple):
     gradlogtarget: jax.Array
 
 
-def leapfrog_step(target: Target, pp: PhasePoint, eps) -> PhasePoint:
-    """One leapfrog step (reference samplers.jl:105-134)."""
+def leapfrog_step(target: Target, pp: PhasePoint, eps, inv_mass=None) -> PhasePoint:
+    """One leapfrog step (reference samplers.jl:105-134); with diagonal
+    mass, the position update uses the velocity M⁻¹p."""
     p_half = pp.momentum + 0.5 * eps * pp.gradlogtarget
-    x = pp.position + eps * p_half
+    vel = p_half if inv_mass is None else inv_mass * p_half
+    x = pp.position + eps * vel
     lt, grad = target.logdensity_and_grad(x)
     p = p_half + 0.5 * eps * grad
     return PhasePoint(x, p, lt, grad)
 
 
-def leapfrog(target: Target, pp: PhasePoint, eps, n_steps, unroll: int = 4) -> PhasePoint:
+def leapfrog(
+    target: Target, pp: PhasePoint, eps, n_steps, inv_mass=None, unroll: int = 4
+) -> PhasePoint:
     """n_steps leapfrog steps; n_steps may be a traced integer.
 
     With a static trip count the loop is partially unrolled (TPU scalar-core
     loop overhead is non-trivial relative to a small-model grad eval)."""
 
     def body(_, carry):
-        return leapfrog_step(target, carry, eps)
+        return leapfrog_step(target, carry, eps, inv_mass)
 
     if isinstance(n_steps, int):
         return jax.lax.fori_loop(

@@ -29,6 +29,7 @@ from klara_tpu.samplers.hamiltonian import (
     find_reasonable_step_size,
     hamiltonian,
     leapfrog,
+    sample_momentum,
 )
 from klara_tpu.tuners.tuners import DualAveragingTuner, TuneState
 
@@ -37,6 +38,7 @@ class HMCState(NamedTuple):
     position: jax.Array
     logtarget: jax.Array
     gradlogtarget: jax.Array
+    inv_mass: jax.Array     # diagonal inverse mass (1 = identity, reference)
     tune: TuneState
 
 
@@ -70,7 +72,8 @@ class HMC(Sampler):
         tune = tuner.init(step0)
         if isinstance(tuner, DualAveragingTuner):
             tune = tuner.set_mu_from_step(tune)
-        return HMCState(position, lt, grad, tune)
+        inv_mass = jnp.ones_like(position)
+        return HMCState(position, lt, grad, inv_mass, tune)
 
     def _nleaps(self, eps, dynamic: bool):
         if not dynamic:
@@ -85,17 +88,19 @@ class HMC(Sampler):
         k_mom, k_acc = jax.random.split(key)
         x, lt, grad = state.position, state.logtarget, state.gradlogtarget
         eps = state.tune.step
+        inv_mass = state.inv_mass
 
-        p0 = jax.random.normal(k_mom, x.shape, x.dtype)
-        h0 = hamiltonian(lt, p0)
+        p0 = sample_momentum(k_mom, x, inv_mass)
+        h0 = hamiltonian(lt, p0, inv_mass)
 
         pp = leapfrog(
             target,
             PhasePoint(x, p0, lt, grad),
             eps,
             self._nleaps(eps, dynamic_nleaps),
+            inv_mass,
         )
-        h1 = hamiltonian(pp.logtarget, pp.momentum)
+        h1 = hamiltonian(pp.logtarget, pp.momentum, inv_mass)
         ratio = h1 - h0
         ratio = jnp.where(jnp.isnan(ratio), -jnp.inf, ratio)
 
@@ -104,6 +109,7 @@ class HMC(Sampler):
             position=jnp.where(accept, pp.position, x),
             logtarget=jnp.where(accept, pp.logtarget, lt),
             gradlogtarget=jnp.where(accept, pp.gradlogtarget, grad),
+            inv_mass=inv_mass,
             tune=state.tune,
         )
         a = jnp.minimum(1.0, jnp.exp(jnp.minimum(ratio, 0.0)))

@@ -54,6 +54,7 @@ from klara_tpu.samplers.hamiltonian import (
     find_reasonable_step_size,
     hamiltonian,
     leapfrog_step,
+    sample_momentum,
 )
 from klara_tpu.tuners.tuners import DualAveragingTuner, TuneState
 
@@ -62,6 +63,7 @@ class NUTSState(NamedTuple):
     position: jax.Array
     logtarget: jax.Array
     gradlogtarget: jax.Array
+    inv_mass: jax.Array     # diagonal inverse mass (1 = identity, reference)
     tune: TuneState
 
 
@@ -89,12 +91,15 @@ def _trailing_zeros(k, nbits):
     return tz
 
 
-def _turn(pos_hi, mom_hi, pos_lo, mom_lo, v):
+def _turn(pos_hi, mom_hi, pos_lo, mom_lo, v, inv_mass):
     """U-turn criterion between trajectory-ordered ends (reference
     NUTS.jl:392-396).  `hi` is the later point along build direction v;
-    d = (θ₊ − θ₋) with chronological orientation restored via v."""
+    d = (θ₊ − θ₋) with chronological orientation restored via v.  With a
+    diagonal mass matrix the criterion uses velocities M⁻¹p."""
     d = v * (pos_hi - pos_lo)
-    return (jnp.dot(d, mom_hi) < 0.0) | (jnp.dot(d, mom_lo) < 0.0)
+    return (jnp.dot(d, inv_mass * mom_hi) < 0.0) | (
+        jnp.dot(d, inv_mass * mom_lo) < 0.0
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -121,10 +126,12 @@ class NUTS(Sampler):
         tune = tuner.init(step0)
         if isinstance(tuner, DualAveragingTuner):
             tune = tuner.set_mu_from_step(tune)
-        return NUTSState(position, lt, grad, tune)
+        return NUTSState(position, lt, grad, jnp.ones_like(position), tune)
 
     # ------------------------------------------------------------ subtree
-    def _build_subtree(self, target, key, z_start: PhasePoint, v, depth, eps, u, h0):
+    def _build_subtree(
+        self, target, key, z_start: PhasePoint, v, depth, eps, u, h0, inv_mass
+    ):
         """Iteratively build a subtree of 2^depth leaves in direction v.
 
         Returns (z_end, candidate, n', s', a', na', divergent')."""
@@ -143,8 +150,8 @@ class NUTS(Sampler):
 
         def body(carry):
             k, z, cand, n_acc, s, a, na, div, cp, cm, key = carry
-            z = leapfrog_step(target, z, v * eps)
-            h = hamiltonian(z.logtarget, z.momentum)
+            z = leapfrog_step(target, z, v * eps, inv_mass)
+            h = hamiltonian(z.logtarget, z.momentum, inv_mass)
             h = jnp.where(jnp.isnan(h), -jnp.inf, h)
 
             n_leaf = (u <= h).astype(jnp.int32)
@@ -184,7 +191,7 @@ class NUTS(Sampler):
                 active = (~is_even) & (m <= big_m)
                 left = k + 1 - (1 << m)
                 lslot = jnp.clip(_popcount(left, nbits), 0, self.max_doublings)
-                t_m = _turn(z.position, z.momentum, cp[lslot], cm[lslot], v)
+                t_m = _turn(z.position, z.momentum, cp[lslot], cm[lslot], v, inv_mass)
                 turned = turned | (active & t_m)
 
             s = s_leaf & ~turned
@@ -212,10 +219,11 @@ class NUTS(Sampler):
         k_mom, k_slice, k_loop = jax.random.split(key, 3)
         x, lt, grad = state.position, state.logtarget, state.gradlogtarget
         eps = state.tune.step
+        inv_mass = state.inv_mass
         f = x.dtype
 
-        p0 = jax.random.normal(k_mom, x.shape, f)
-        h0 = hamiltonian(lt, p0)
+        p0 = sample_momentum(k_mom, x, inv_mass)
+        h0 = hamiltonian(lt, p0, inv_mass)
         # log-slice variable u = log(rand()) + H0 (iterate/NUTS.jl:261)
         u = jnp.log(jax.random.uniform(k_slice, dtype=f)) + h0
 
@@ -235,7 +243,7 @@ class NUTS(Sampler):
                 lambda m, p: jnp.where(v < 0, m, p), z_minus, z_plus
             )
             z_end, cand_p, n_p, s_p, a_p, na_p, div_p = self._build_subtree(
-                target, k_sub, start, v, j, eps, u, h0
+                target, k_sub, start, v, j, eps, u, h0, inv_mass
             )
             z_minus = jax.tree.map(
                 lambda e, old: jnp.where(v < 0, e, old), z_end, z_minus
@@ -254,7 +262,12 @@ class NUTS(Sampler):
             n = n + n_p
             j = j + 1
             s = s_p & ~_turn(
-                z_plus.position, z_plus.momentum, z_minus.position, z_minus.momentum, 1.0
+                z_plus.position,
+                z_plus.momentum,
+                z_minus.position,
+                z_minus.momentum,
+                1.0,
+                inv_mass,
             )
             a = a + a_p
             na = na + na_p
@@ -278,7 +291,9 @@ class NUTS(Sampler):
             cond, body, init
         )
 
-        new_state = NUTSState(cand.position, cand.logtarget, cand.gradlogtarget, state.tune)
+        new_state = NUTSState(
+            cand.position, cand.logtarget, cand.gradlogtarget, inv_mass, state.tune
+        )
         accept_stat = a / jnp.maximum(na, 1).astype(f)
         info = Info(
             accept=updated,
