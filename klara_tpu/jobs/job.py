@@ -165,7 +165,16 @@ class MCJob:
     # ------------------------------------------------------------------ init
     def _init_states(self, key, x0):
         x0 = jnp.asarray(x0)
-        if x0.ndim == 0 or (x0.ndim == 1 and self.n_chains != x0.shape[0]):
+        # disambiguate "one (D,) position for all chains" from "(n_chains,)
+        # scalar positions" via target.dim when n_chains == D
+        single_vector = (
+            x0.ndim == 1
+            and self.target.dim is not None
+            and x0.shape[0] == self.target.dim
+        )
+        if x0.ndim == 0 or single_vector or (
+            x0.ndim == 1 and self.n_chains != x0.shape[0]
+        ):
             x0 = jnp.broadcast_to(x0, (self.n_chains,) + x0.shape)
         elif x0.shape[0] != self.n_chains:
             x0 = jnp.broadcast_to(x0, (self.n_chains,) + x0.shape)
