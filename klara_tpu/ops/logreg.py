@@ -43,8 +43,9 @@ to the gradient.
 
 Integration: ``make_logreg_target`` wraps the kernel in
 `jax.custom_batching.custom_vmap`, so the SAME per-chain
-``target.logdensity_and_grad`` used by every sampler dispatches to the
-fused batched kernel under the job driver's `vmap` — samplers need no
+``target.logdensity_and_grad`` used by every sampler dispatches under the
+job driver's `vmap` to the batched value+grad implementation (XLA by
+default, the Pallas kernel with ``use_pallas=True``) — samplers need no
 changes.
 """
 

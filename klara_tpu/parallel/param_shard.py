@@ -81,6 +81,16 @@ def param_sharded_logreg_target(
     N, D = X.shape
     lam = float(prior_var)
 
+    n_param = mesh.shape[param_axis]
+    if D % n_param != 0:
+        raise ValueError(
+            f"feature dimension D={D} is not divisible by the '{param_axis}' "
+            f"mesh axis size {n_param}; pad X with zero columns to a multiple "
+            f"of {n_param} (zero-padded features do not change the posterior "
+            f"when the padded position coordinates start at 0 under a "
+            f"Gaussian prior) or choose a mesh with n_param dividing D"
+        )
+
     # features co-sharded with the parameter dimension, resident per-shard
     Xs = jax.device_put(X, NamedSharding(mesh, P(None, param_axis)))
     v = jax.device_put(X.T @ y, NamedSharding(mesh, P(param_axis)))
@@ -114,8 +124,30 @@ def param_sharded_logreg_target(
 
     @jax.custom_batching.custom_vmap
     def value_and_grad_one(p):
-        value, grad = _batched(p[None, :])
-        return value[0], grad[0]
+        # Unbatched fallback (init/checkin/stats paths): constrain only the
+        # param axis — a (D,) vector has no chains dimension, and eagerly
+        # applying a 'chains' constraint to a length-1 leading dim raises
+        # whenever that mesh axis has >1 devices.
+        p = jax.lax.with_sharding_constraint(
+            p, NamedSharding(mesh, P(param_axis))
+        )
+        logits = jnp.squeeze(
+            jax.lax.with_sharding_constraint(
+                (p[None, :] @ Xs.T), NamedSharding(mesh, P(None, None))
+            ),
+            0,
+        )
+        value = (
+            jnp.dot(p, v)
+            - jnp.sum(jax.nn.softplus(logits))
+            - 0.5 * jnp.dot(p, p) / lam
+            - const
+        )
+        grad = v - jax.nn.sigmoid(logits) @ Xs - p / lam
+        grad = jax.lax.with_sharding_constraint(
+            grad, NamedSharding(mesh, P(param_axis))
+        )
+        return value, grad
 
     @value_and_grad_one.def_vmap
     def _rule(axis_size, in_batched, Pm):

@@ -145,3 +145,43 @@ def test_param_sharded_target_matches_unsharded():
     chain = job.run(jax.random.key(0), jnp.zeros(D))
     assert np.isfinite(np.asarray(chain.value)).all()
     assert float(kt.stats.acceptance(chain)) > 0.3
+
+
+def test_param_sharded_target_direct_unbatched_call():
+    """The public per-chain logdensity_and_grad works EAGERLY on a single
+    (D,) vector even when the chains mesh axis has >1 devices (advisor
+    finding: the old unbatched fallback applied a 'chains' constraint to a
+    (1, D) array and crashed outside jit/vmap)."""
+    from klara_tpu.parallel import mesh2d, param_sharded_logreg_target
+
+    X, y = _logreg_problem()
+    D = X.shape[1]
+    mesh = mesh2d(4, 2)
+    target = param_sharded_logreg_target(X, y, mesh, prior_var=10.0)
+
+    p = jnp.linspace(-0.5, 0.5, D).astype(jnp.float32)
+    v, g = target.logdensity_and_grad(p)  # eager, no jit/vmap
+
+    def ref_logdensity(q):
+        logits = X @ q
+        return (
+            jnp.dot(logits, y)
+            - jnp.sum(jax.nn.softplus(logits))
+            - 0.5 * jnp.dot(q, q) / 10.0
+            - 0.5 * D * jnp.log(2.0 * jnp.pi * 10.0)
+        )
+
+    v_ref, g_ref = jax.value_and_grad(ref_logdensity)(p)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=2e-5, atol=1e-5)
+
+
+def test_param_sharded_target_indivisible_dim_errors():
+    """D not divisible by the param axis raises a clear ValueError at
+    construction (advisor finding: opaque device_put divisibility error)."""
+    from klara_tpu.parallel import mesh2d, param_sharded_logreg_target
+
+    X, y = _logreg_problem(D=15)
+    mesh = mesh2d(4, 2)
+    with pytest.raises(ValueError, match="not divisible"):
+        param_sharded_logreg_target(X, y, mesh)
