@@ -76,6 +76,11 @@ class Target:
     dim: Optional[int] = None
     loglikelihood_fn: Optional[LogDensityFn] = None
     logprior_fn: Optional[LogDensityFn] = None
+    # prior distribution object (klara_tpu.distributions API: logpdf +
+    # sample) used to draw initial values when the job is run without an
+    # explicit x0 — reference draws NaN-initialised values from the
+    # parameter's pdf/prior (src/jobs/BasicMCJob.jl:59-67)
+    prior: Optional[Any] = None
     grad_fn: Optional[Callable] = None
     # fused value+gradient (e.g. a Pallas kernel); overrides the
     # grad_fn / value_and_grad default when present
@@ -129,9 +134,26 @@ class Target:
         return self.loglikelihood_fn(x, *args)
 
     def logprior(self, x, *args) -> Array:
-        if self.logprior_fn is None:
-            raise ValueError("target has no logprior decomposition")
-        return self.logprior_fn(x, *args)
+        if self.logprior_fn is not None:
+            return self.logprior_fn(x, *args)
+        if self.prior is not None:
+            return jnp.sum(self.prior.logpdf(x))
+        raise ValueError("target has no logprior decomposition")
+
+    def sample_prior(self, key) -> Array:
+        """Draw ONE position from the prior — used by jobs to initialise
+        chains when no x0 is given (reference src/jobs/BasicMCJob.jl:59-67:
+        `rand(pdf)` / `rand(prior)` for NaN-valued initial states)."""
+        if self.prior is None:
+            raise ValueError(
+                "target has no `prior` distribution to draw initial values "
+                "from; pass x0 explicitly or set Target(prior=...)"
+            )
+        event_dim = getattr(self.prior, "dim", None)
+        if event_dim is None and self.dim is not None:
+            # scalar (per-component iid) prior over a dim-D position
+            return jnp.asarray(self.prior.sample(key, (self.dim,)))
+        return jnp.asarray(self.prior.sample(key))
 
     def grad(self, x, *args) -> Array:
         """∇ log π(x) — reference `gradlogtarget!`."""

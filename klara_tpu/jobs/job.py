@@ -128,6 +128,10 @@ class MCJob:
     def __post_init__(self):
         if self.tuner is None:
             self.tuner = self.sampler.default_tuner()
+        # let the sampler specialise its static config to the tuner — e.g.
+        # HMC switches to fixed-trajectory dynamic nleaps under dual
+        # averaging (reference src/samplers/iterate/HMC.jl:142-144)
+        self.sampler = self.sampler.bind_tuner(self.tuner)
         if self.destination not in ("nstate", "csv", "none"):
             raise ValueError(f"unknown destination {self.destination!r}")
         if self.destination == "csv" and not self.filepath:
@@ -167,6 +171,19 @@ class MCJob:
         x0 = jnp.asarray(x0)
         # disambiguate "one (D,) position for all chains" from "(n_chains,)
         # scalar positions" via target.dim when n_chains == D
+        if (
+            x0.ndim == 1
+            and self.n_chains > 1
+            and x0.shape[0] == self.n_chains
+            and self.target.dim is None
+        ):
+            raise ValueError(
+                f"ambiguous initial value: x0 has shape {x0.shape} with "
+                f"n_chains={self.n_chains} and target.dim unset — cannot tell "
+                "one (D,)-vector position shared by all chains from per-chain "
+                "scalar positions. Set Target(dim=...) or pass x0 shaped "
+                "(n_chains, dim)."
+            )
         single_vector = (
             x0.ndim == 1
             and self.target.dim is not None
@@ -268,12 +285,10 @@ class MCJob:
 
             if self.verbose:
                 def report(step, rate, in_burnin):
-                    import numpy as _np
-
                     phase = "burnin " if bool(in_burnin) else "sampling"
                     print(
                         f"[{self.target.name}] {phase} iteration {int(step)+1}: "
-                        f"{100*float(_np.mean(rate)):.2f} % acceptance rate"
+                        f"{100*float(rate):.2f} % acceptance rate"
                     )
 
                 jax.lax.cond(
@@ -369,12 +384,20 @@ class MCJob:
         samples, diags = buffers
         return Chain(samples=samples, diagnostics=diags, final_state=states)
 
-    def run(self, key, x0) -> Chain:
+    def run(self, key, x0=None) -> Chain:
         """Run the job end-to-end, compiled as one XLA program.
 
         Counterpart of reference ``run(::BasicMCJob)``
-        (src/jobs/BasicMCJob.jl:212-244).
+        (src/jobs/BasicMCJob.jl:212-244).  When ``x0`` is omitted, each
+        chain's initial value is drawn from the target's prior — the
+        reference draws NaN-initialised values from the parameter's
+        pdf/prior (src/jobs/BasicMCJob.jl:59-67).
         """
+        if x0 is None:
+            draw_key, key = jax.random.split(key)
+            x0 = jax.vmap(self.target.sample_prior)(
+                jax.random.split(draw_key, self.n_chains)
+            )
         if self.destination == "csv" and self._writer is None:
             from klara_tpu.io.stream import StreamingWriter
 
@@ -411,6 +434,34 @@ class MCJob:
 
     # convenient resume: continue sampling from a previous chain's final state
     def resume(self, key, chain: Chain) -> Chain:
+        """Continue sampling from ``chain.final_state`` for another
+        ``mcrange.n_steps`` steps (reference ``reset``/re-``run``,
+        src/jobs/BasicMCJob.jl:187-201).  Re-applies mesh sharding to the
+        restored state (it may come from a host-side checkpoint) and
+        re-opens the csv writer if streaming."""
+        if self.destination == "csv" and self._writer is None:
+            from klara_tpu.io.stream import StreamingWriter
+
+            self._writer = StreamingWriter(self.filepath, flush=self.flush)
+        if self.mesh is not None:
+            def reshard(x):
+                x = jnp.asarray(x)
+                if x.ndim >= 1 and x.shape[0] == self.n_chains:
+                    spec = P(self.chains_axis, *([None] * (x.ndim - 1)))
+                else:
+                    spec = P(*([None] * x.ndim))
+                return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+            chain = dataclasses.replace(
+                chain, final_state=jax.tree.map(reshard, chain.final_state)
+            )
+        out = self._resume_run(key, chain)
+        if self._writer is not None:
+            jax.block_until_ready(out.final_state)
+            self._writer.close()
+        return out
+
+    def _resume_run(self, key, chain: Chain) -> Chain:
         def _resumed(states, chain_keys):
             infos_shape = jax.eval_shape(
                 lambda s: jax.vmap(

@@ -125,10 +125,18 @@ class AMWG(Sampler):
         tune = self._tuner().update(state.tune, acc_vec, acc_vec)
         new_state = AMWGState(x, lt, tune)
         mean_acc = jnp.mean(acc_vec)
+        # reference records per-coordinate accepts (src/samplers/AMWG.jl:
+        # 185-193); `accept` is the per-sweep accepted FRACTION (not an
+        # invented boolean), and the full per-coordinate vector is exposed
+        # via the 'accept_vec' diagnostic
         info = Info(
-            accept=mean_acc > 0.5,
+            accept=mean_acc,
             accept_stat=mean_acc,
             logtarget=lt,
-            extras={"logsigma": tune.step, "accept_frac": mean_acc},
+            extras={
+                "logsigma": tune.step,
+                "accept_frac": mean_acc,
+                "accept_vec": acc_vec,
+            },
         )
         return new_state, info

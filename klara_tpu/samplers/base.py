@@ -32,16 +32,20 @@ from klara_tpu.tuners.tuners import Tuner, TuneState, VanillaTuner
 class Info(NamedTuple):
     """Per-step diagnostics common to all samplers.
 
-    ``accept``      — whether the proposal was accepted (reference `:accept`)
+    ``accept``      — whether the proposal was accepted (reference `:accept`);
+                      samplers with per-coordinate proposals (AMWG) report the
+                      accepted FRACTION instead of a boolean
     ``accept_stat`` — acceptance probability (NUTS/HMC `a`; 0/1 for MH-family)
     ``logtarget``   — log-density after the step
-    ``extras``      — sampler-specific diagnostics dict (ndoublings, logσ, ...)
+    ``extras``      — sampler-specific diagnostics dict (ndoublings, logσ, ...);
+                      the default is an (immutable) empty tuple, not ``{}``,
+                      because a NamedTuple default is shared class-wide
     """
 
     accept: jax.Array
     accept_stat: jax.Array
     logtarget: jax.Array
-    extras: dict = {}
+    extras: Any = ()
 
 
 def metropolis_accept(key, log_ratio):
@@ -79,3 +83,10 @@ class Sampler:
 
     def default_tuner(self) -> Tuner:
         return VanillaTuner()
+
+    def bind_tuner(self, tuner: Tuner) -> "Sampler":
+        """Specialise static sampler config to the tuner in use (called once
+        by the job driver).  E.g. HMC switches to a fixed trajectory length
+        with dynamic nleaps = round(λ/ε) under dual averaging — reference
+        src/samplers/iterate/HMC.jl:142-144."""
+        return self

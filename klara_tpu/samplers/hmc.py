@@ -50,8 +50,20 @@ class HMC(Sampler):
     trajectory_length: float | None = None
     # hard cap on per-iteration leapfrog count when nleaps is dynamic
     max_nleaps: int = 1024
+    # recompute nleaps = round(λ/ε) per step — set automatically by
+    # bind_tuner when the tuner is DualAveraging (reference
+    # src/samplers/iterate/HMC.jl:142-144); user-settable for testing
+    dynamic_nleaps: bool = False
 
     tuner_statistic = "accept_stat"
+
+    def bind_tuner(self, tuner):
+        """Under dual averaging, hold the trajectory length λ = nleaps·ε₀
+        fixed and recompute nleaps every iteration as ε adapts — reference
+        src/samplers/iterate/HMC.jl:142-144."""
+        if isinstance(tuner, DualAveragingTuner) and not self.dynamic_nleaps:
+            return dataclasses.replace(self, dynamic_nleaps=True)
+        return self
 
     def default_step_size(self):
         return self.leapstep
@@ -75,8 +87,8 @@ class HMC(Sampler):
         inv_mass = jnp.ones_like(position)
         return HMCState(position, lt, grad, inv_mass, tune)
 
-    def _nleaps(self, eps, dynamic: bool):
-        if not dynamic:
+    def _nleaps(self, eps):
+        if not self.dynamic_nleaps:
             return self.nleaps
         lam = self.trajectory_length
         if lam is None:
@@ -84,7 +96,7 @@ class HMC(Sampler):
         n = jnp.round(lam / eps).astype(jnp.int32)
         return jnp.clip(n, 1, self.max_nleaps)
 
-    def step(self, key, state: HMCState, target: Target, dynamic_nleaps: bool = False):
+    def step(self, key, state: HMCState, target: Target):
         k_mom, k_acc = jax.random.split(key)
         x, lt, grad = state.position, state.logtarget, state.gradlogtarget
         eps = state.tune.step
@@ -93,11 +105,12 @@ class HMC(Sampler):
         p0 = sample_momentum(k_mom, x, inv_mass)
         h0 = hamiltonian(lt, p0, inv_mass)
 
+        nleaps = self._nleaps(eps)
         pp = leapfrog(
             target,
             PhasePoint(x, p0, lt, grad),
             eps,
-            self._nleaps(eps, dynamic_nleaps),
+            nleaps,
             inv_mass,
         )
         h1 = hamiltonian(pp.logtarget, pp.momentum, inv_mass)
@@ -113,5 +126,10 @@ class HMC(Sampler):
             tune=state.tune,
         )
         a = jnp.minimum(1.0, jnp.exp(jnp.minimum(ratio, 0.0)))
-        info = Info(accept=accept, accept_stat=a, logtarget=new_state.logtarget)
+        info = Info(
+            accept=accept,
+            accept_stat=a,
+            logtarget=new_state.logtarget,
+            extras={"nleaps": jnp.asarray(nleaps, jnp.int32)},
+        )
         return new_state, info

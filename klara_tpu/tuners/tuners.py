@@ -96,7 +96,10 @@ class Tuner:
         accept_stat: acceptance probability in [0,1]."""
         accepted = tune.accepted + jnp.asarray(accept, tune.accepted.dtype)
         proposed = tune.proposed + 1
-        at_boundary = (proposed % self.period == 0) & (tune.totproposed < burnin)
+        # reference gates on totproposed <= burnin (src/samplers/iterate/
+        # MH.jl:127), i.e. the period that *straddles* the burnin boundary
+        # still fires
+        at_boundary = (proposed % self.period == 0) & (tune.totproposed <= burnin)
         rate = accepted / proposed.astype(accepted.dtype)
 
         new_step, new_extra = self._tune(

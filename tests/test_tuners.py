@@ -64,12 +64,15 @@ def test_acceptance_rate_tuner_direction():
 
 
 def test_acceptance_rate_tuner_stops_after_burnin():
+    # reference gating is totproposed <= burnin (src/samplers/iterate/
+    # MH.jl:127): the boundary period straddling burnin fires, later ones
+    # are frozen
     tuner = AcceptanceRateTuner(0.5, period=10)
     tune = tuner.init(1.0)
-    for _ in range(10):
+    for _ in range(20):  # two periods: totproposed 0 and 10, both <= 10
         tune = tuner.update(tune, 1, 1.0, burnin=10)
     stepped = float(tune.step)
-    for _ in range(50):
+    for _ in range(50):  # totproposed 20 > 10: frozen
         tune = tuner.update(tune, 1, 1.0, burnin=10)
     assert float(tune.step) == stepped  # frozen post-burnin
 
