@@ -10,15 +10,21 @@ Reference: src/jobs/BasicGibbsJob.jl:3-359.  The reference's sweep
   (c) applies a deterministic transformation (line 196),
 
 with nested jobs reset between sweeps, optionally re-drawing their start
-from the conditional (``resetpstate``, lines 158-168).
+from the prior (``resetpstate``, lines 158-168).  Each variable carries
+its own output options (destination / diagnostics / csv streaming,
+lines 57-65 and 170-183).
 
 TPU-native design: the sweep is irreducibly sequential across blocks
 (SURVEY.md §3.4), so blocks are unrolled in Python inside ONE compiled
 step function; `lax.scan` drives sweeps and `vmap` runs thousands of
 independent Gibbs chains in SIMD lockstep, mesh-shardable over the
 'chains' axis exactly like MCJob.  Nested MCMC blocks re-initialise the
-sampler state from the current value each sweep (the reference's `reset`)
-and run ``n_steps`` kernel steps inside the sweep.
+sampler state each sweep (the reference's `reset`) — from the current
+value, or from a fresh prior draw when ``reset_from_prior`` — and run
+``n_steps`` kernel steps inside the sweep, with their tuner adapting
+during the first ``burnin`` of those steps.  Per-block mean acceptance is
+recorded as a diagnostics channel so MCMC-within-Gibbs mixing is
+observable.
 """
 
 from __future__ import annotations
@@ -32,34 +38,57 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from klara_tpu.core.target import Target
 from klara_tpu.jobs.range import MCRange
-from klara_tpu.models.graph import GenericModel, GibbsParameter, Transformation
+from klara_tpu.models.graph import Data, GenericModel, GibbsParameter, Transformation
 from klara_tpu.samplers.base import Sampler
+from klara_tpu.tuners.tuners import Tuner
 
 
 @dataclasses.dataclass(frozen=True)
 class Nested:
-    """MCMC-within-Gibbs block spec: run `n_steps` of `sampler` on the
-    block's conditional each sweep (reference dpjob BasicMCJob entries)."""
+    """MCMC-within-Gibbs block spec (reference dpjob BasicMCJob entries,
+    src/jobs/BasicGibbsJob.jl:188-190).
+
+    ``n_steps`` kernel steps run on the block's conditional each sweep;
+    the tuner (if any) adapts during the first ``burnin`` of them — the
+    nested job's own range (reference nested BasicMCJob ranges).  With
+    ``reset_from_prior`` the nested start is re-drawn from the
+    parameter's ``setprior`` conditional each sweep instead of continuing
+    from the current value (reference ``resetpstate``,
+    BasicGibbsJob.jl:158-168)."""
 
     sampler: Sampler
     n_steps: int = 1
     step_size: Optional[float] = None
+    burnin: int = 0
+    tuner: Optional[Tuner] = None
+    reset_from_prior: bool = False
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class GibbsChains:
-    """Per-variable draws: samples[key] has shape (n_post, n_chains, ...)."""
+    """Per-variable draws: samples[key] has shape (n_post, n_chains, ...).
+
+    ``diagnostics`` holds per-sweep channels — '<key>.accept' is the mean
+    acceptance of nested MCMC block <key> (reference per-variable
+    diagnostics, BasicGibbsJob.jl:170-183)."""
 
     samples: Dict[str, jax.Array]
     final_values: Dict[str, jax.Array]
+    diagnostics: Dict[str, jax.Array] = dataclasses.field(default_factory=dict)
 
     def __getitem__(self, key):
-        return self.samples[key]
+        if key in self.samples:
+            return self.samples[key]
+        return self.diagnostics[key]
 
     def flat(self, key):
-        arr = self.samples[key]
+        arr = self[key]
         return arr.reshape((-1,) + arr.shape[2:])
+
+
+def _default_outopts():
+    return {"destination": "nstate", "filepath": None, "flush": False}
 
 
 @dataclasses.dataclass
@@ -75,6 +104,13 @@ class GibbsJob:
     mcrange : MCRange
     n_chains : chains axis (vmapped, mesh-shardable)
     monitor : which dependent variables to record (default: all)
+    outopts : per-variable output options (reference BasicGibbsJob.jl:57-65):
+        {key: {'destination': 'nstate'|'csv'|'none', 'filepath': ..., 'flush': ...}}.
+        Variables not listed use destination='nstate'.  'csv' streams the
+        variable's draws during the run via io_callback (one directory per
+        variable); 'none' drops the trace (final value still returned).
+    record_diagnostics : record '<key>.accept' mean-acceptance channels
+        for nested MCMC blocks.
     """
 
     model: GenericModel
@@ -82,44 +118,100 @@ class GibbsJob:
     mcrange: MCRange = dataclasses.field(default_factory=MCRange)
     n_chains: int = 1
     monitor: Optional[Sequence[str]] = None
+    outopts: Dict[str, Dict[str, Any]] = dataclasses.field(default_factory=dict)
+    record_diagnostics: bool = True
     mesh: Optional[Mesh] = None
     chains_axis: str = "chains"
 
     def __post_init__(self):
         self._dependents = self.model.dependents
+        # Data vertices with an update hook are refreshed at the start of
+        # every sweep (reference variables.jl:84-92) and therefore live in
+        # the scan carry rather than the closure constants
+        self._updatable = [
+            v
+            for v in self.model.vertices
+            if isinstance(v, Data) and v.update is not None
+        ]
         if self.monitor is None:
             self.monitor = [v.key for v in self._dependents]
         for key in self.sweep:
             if key not in self.model:
                 raise ValueError(f"sweep references unknown variable {key!r}")
+        for key, spec in self.sweep.items():
+            if spec.reset_from_prior and self.model[key].setprior is None:
+                raise ValueError(
+                    f"Nested(reset_from_prior=True) on {key!r} requires the "
+                    "parameter to define setprior"
+                )
+        self._opts = {}
+        for key in self.monitor:
+            opts = dict(_default_outopts())
+            opts.update(self.outopts.get(key, {}))
+            if opts["destination"] not in ("nstate", "csv", "none"):
+                raise ValueError(
+                    f"unknown destination {opts['destination']!r} for {key!r}"
+                )
+            if opts["destination"] == "csv" and not opts.get("filepath"):
+                raise ValueError(f"destination='csv' for {key!r} requires filepath")
+            self._opts[key] = opts
+        unknown = set(self.outopts) - set(self.monitor)
+        if unknown:
+            raise ValueError(f"outopts for unmonitored variables: {sorted(unknown)}")
+        self._writers = {}
         self._run_jit = jax.jit(self._run)
 
     # ---------------------------------------------------------------- sweep
     def _block_update(self, var, values: Dict[str, Any], key):
-        """One block of the sweep — returns the variable's new value."""
+        """One block of the sweep — returns (new value, diag dict)."""
         if isinstance(var, Transformation):
-            return var.transform(values)
+            return var.transform(values), {}
 
         assert isinstance(var, GibbsParameter)
         if var.key in self.sweep:
             spec = self.sweep[var.key]
+            key, k_init = jax.random.split(key)
             x0 = values[var.key]
+            if spec.reset_from_prior:
+                # redraw the nested start from the prior conditional
+                # (reference resetpstate, BasicGibbsJob.jl:158-168)
+                key, k_prior = jax.random.split(key)
+                draw = var.setprior(values).sample(k_prior)
+                x0 = jnp.asarray(draw, jnp.asarray(x0).dtype).reshape(jnp.shape(x0))
             # conditional target given the CURRENT values of all others
             frozen = dict(values)
             target = Target(
                 logdensity_fn=lambda x: var.conditional_logdensity(x, frozen)
             )
             state = spec.sampler.init(
-                key, target, x0, step_size=spec.step_size
+                k_init, target, x0, step_size=spec.step_size, tuner=spec.tuner
             )
-            def body(i, carry):
-                state, key = carry
-                key, sub = jax.random.split(key)
-                state, _ = spec.sampler.step(sub, state, target)
-                return (state, key)
 
-            state, _ = jax.lax.fori_loop(0, spec.n_steps, body, (state, key))
-            return state.position
+            def body(i, carry):
+                state, key, acc = carry
+                key, sub = jax.random.split(key)
+                state, info = spec.sampler.step(sub, state, target)
+                if spec.tuner is not None and not spec.sampler.self_tuning:
+                    stat = (
+                        info.accept_stat
+                        if spec.sampler.tuner_statistic == "accept_stat"
+                        else info.accept.astype(jnp.float32)
+                    )
+                    new_tune = spec.tuner.update(
+                        state.tune,
+                        info.accept.astype(jnp.float32),
+                        stat,
+                        spec.burnin,
+                    )
+                    state = state._replace(tune=new_tune)
+                acc = acc + jnp.asarray(info.accept, jnp.float32)
+                return (state, key, acc)
+
+            state, _, acc = jax.lax.fori_loop(
+                0, spec.n_steps, body, (state, key, jnp.float32(0.0))
+            )
+            diag = {f"{var.key}.accept": acc / spec.n_steps}
+            return state.position, diag
 
         if var.setpdf is None:
             raise ValueError(
@@ -128,19 +220,28 @@ class GibbsJob:
             )
         dist = var.setpdf(values)
         draw = dist.sample(key)
-        return jnp.asarray(draw, jnp.asarray(values[var.key]).dtype).reshape(
+        new = jnp.asarray(draw, jnp.asarray(values[var.key]).dtype).reshape(
             jnp.shape(values[var.key])
         )
+        return new, {}
 
     def _sweep_fn(self, chain_key, values, i):
-        """One full sweep; returns updated DEPENDENT values only."""
+        """One full sweep; returns (updated carried values, diagnostics)."""
+        diags = {}
+        values = dict(values)
+        for u in self._updatable:  # Data.update hooks fire before any block
+            values[u.key] = u.update(values)
         for b, var in enumerate(self._dependents):
             block_key = jax.random.fold_in(
                 jax.random.fold_in(chain_key, i), b
             )
             values = dict(values)
-            values[var.key] = self._block_update(var, values, block_key)
-        return {v.key: values[v.key] for v in self._dependents}
+            values[var.key], d = self._block_update(var, values, block_key)
+            diags.update(d)
+        return {k: values[k] for k in self._carry_keys()}, diags
+
+    def _carry_keys(self):
+        return [u.key for u in self._updatable] + [v.key for v in self._dependents]
 
     # ------------------------------------------------------------------ run
     def _run(self, key, v0: Dict[str, Any]):
@@ -148,28 +249,43 @@ class GibbsJob:
         n_post = self.mcrange.n_post
         chain_keys = jax.random.split(key, self.n_chains)
 
-        # dependent values are per-chain; constants/data stay unbatched
+        # dependent (and updatable-data) values are per-chain; other
+        # constants/data stay unbatched closure constants
         dep_keys = [v.key for v in self._dependents]
+        carry_keys = self._carry_keys()
         static_vals = {
-            k: jnp.asarray(v) for k, v in v0.items() if k not in dep_keys
+            k: jnp.asarray(v) for k, v in v0.items() if k not in carry_keys
         }
 
         def batch(x):
             x = jnp.asarray(x)
             return jnp.broadcast_to(x, (self.n_chains,) + x.shape)
 
-        values0 = {k: batch(v0[k]) for k in dep_keys}
+        values0 = {k: batch(v0[k]) for k in carry_keys}
+
+        nstate_keys = [
+            k for k in self.monitor if self._opts[k]["destination"] == "nstate"
+        ]
+        csv_keys = [k for k in self.monitor if self._opts[k]["destination"] == "csv"]
+        diag_keys = (
+            [f"{k}.accept" for k in self.sweep if k in dep_keys]
+            if self.record_diagnostics
+            else []
+        )
 
         buffers = {
             k: jnp.zeros(
                 (n_post,) + values0[k].shape, jnp.asarray(values0[k]).dtype
             )
-            for k in self.monitor
+            for k in nstate_keys
+        }
+        diag_buffers = {
+            k: jnp.zeros((n_post, self.n_chains), jnp.float32) for k in diag_keys
         }
 
         def scan_body(carry, i):
-            values, buffers = carry
-            values = jax.vmap(
+            values, buffers, diag_buffers = carry
+            values, diags = jax.vmap(
                 lambda ck, dyn: self._sweep_fn(ck, {**static_vals, **dyn}, i)
             )(chain_keys, values)
 
@@ -177,20 +293,43 @@ class GibbsJob:
             do_save = (i >= burnin) & ((i - burnin) % thinning == 0)
 
             def write(bufs):
-                return {
+                vb, db = bufs
+                vb = {
                     k: jax.lax.dynamic_update_index_in_dim(
                         buf, values[k].astype(buf.dtype), save_idx, 0
                     )
-                    for k, buf in bufs.items()
+                    for k, buf in vb.items()
                 }
+                db = {
+                    k: jax.lax.dynamic_update_index_in_dim(
+                        buf, diags[k].astype(buf.dtype), save_idx, 0
+                    )
+                    for k, buf in db.items()
+                }
+                return vb, db
 
-            buffers = jax.lax.cond(do_save, write, lambda b: b, buffers)
-            return (values, buffers), None
+            buffers, diag_buffers = jax.lax.cond(
+                do_save, write, lambda b: b, (buffers, diag_buffers)
+            )
 
-        (values, buffers), _ = jax.lax.scan(
-            scan_body, (values0, buffers), jnp.arange(self.mcrange.n_steps)
+            for k in csv_keys:
+                from jax.experimental import io_callback
+
+                io_callback(
+                    self._writers[k].append,
+                    jax.ShapeDtypeStruct((), jnp.int32),
+                    do_save,
+                    {k: values[k]},
+                    ordered=True,
+                )
+            return (values, buffers, diag_buffers), None
+
+        (values, buffers, diag_buffers), _ = jax.lax.scan(
+            scan_body, (values0, buffers, diag_buffers), jnp.arange(self.mcrange.n_steps)
         )
-        return GibbsChains(samples=buffers, final_values=values)
+        return GibbsChains(
+            samples=buffers, final_values=values, diagnostics=diag_buffers
+        )
 
     def run(self, key, v0: Dict[str, Any]) -> GibbsChains:
         """Counterpart of reference run(::BasicGibbsJob)
@@ -198,7 +337,19 @@ class GibbsJob:
         missing = [v.key for v in self.model.vertices if v.key not in v0]
         if missing:
             raise ValueError(f"v0 missing values for {missing}")
-        return self._run_jit(key, v0)
+        for k, opts in self._opts.items():
+            if opts["destination"] == "csv" and k not in self._writers:
+                from klara_tpu.io.stream import StreamingWriter
+
+                self._writers[k] = StreamingWriter(
+                    opts["filepath"], flush=opts.get("flush", False), sample_fields={k}
+                )
+        out = self._run_jit(key, v0)
+        if self._writers:
+            jax.block_until_ready(out.final_values)
+            for w in self._writers.values():
+                w.close()
+        return out
 
     def to_dot(self) -> str:
         """Graphviz export of the job (reference `job2dot`,

@@ -45,7 +45,15 @@ Hyperparameter = Constant
 
 @dataclasses.dataclass(frozen=True)
 class Data(Variable):
-    """Observed-data vertex (reference variables.jl:84-92)."""
+    """Observed-data vertex (reference variables.jl:84-92).
+
+    ``update(values) -> new value`` is the reference's optional per-sweep
+    refresh hook (variables.jl:87; the reference declares it but never
+    invokes it — here GibbsJob applies it at the START of every sweep,
+    before any block, e.g. for streaming-data or data-augmentation
+    schemes)."""
+
+    update: Optional[Callable[[Dict[str, Any]], Any]] = None
 
     dotshape = "box"
 
@@ -73,12 +81,18 @@ class GibbsParameter(Variable):
         (MCMC-within-Gibbs, reference BasicGibbsJob.jl:188-190).
         ``loglikelihood``/``logprior`` may be supplied instead and are
         summed (reference BasicContMuvParameter.jl:174-201).
+
+    ``setprior(values) -> Distribution`` optionally supplies the prior as
+    a samplable distribution — used by ``Nested(reset_from_prior=True)``
+    to redraw nested-job starts each sweep (reference ``setprior!`` +
+    ``resetpstate``, parameters.jl:15-19, BasicGibbsJob.jl:158-168).
     """
 
     setpdf: Optional[Callable] = None
     logtarget: Optional[Callable] = None
     loglikelihood: Optional[Callable] = None
     logprior: Optional[Callable] = None
+    setprior: Optional[Callable] = None
 
     dotshape = "circle"
     is_random = True

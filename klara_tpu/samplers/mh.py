@@ -50,6 +50,12 @@ class MH(Sampler):
     sigma: Any = 1.0
     proposal_fn: Optional[Callable] = None  # (x, scale) -> Distribution
     symmetric: bool = True
+    # normalised=False: the proposal's logpdf omits its normaliser (e.g. a
+    # raw truncated-density kernel); the MH ratio is then corrected with
+    # the proposals' log-normalisers via `proposal.lognormaliser()` —
+    # reference src/samplers/iterate/MH.jl:14-24, 86-95 (`lognormalise`).
+    # Full density = exp(logpdf - lognormaliser).
+    normalised: bool = True
 
     def init(self, key, target: Target, position, step_size=None, tuner=None):
         position = jnp.asarray(position)
@@ -84,6 +90,12 @@ class MH(Sampler):
             if not self.symmetric:
                 rev = self.proposal_fn(x_new, scale)
                 ratio = ratio + jnp.sum(rev.logpdf(x)) - jnp.sum(fwd.logpdf(x_new))
+                if not self.normalised:
+                    # non-normalised proposal correction
+                    # (reference iterate/MH.jl:14-24)
+                    ratio = ratio + jnp.sum(fwd.lognormaliser()) - jnp.sum(
+                        rev.lognormaliser()
+                    )
 
         accept = metropolis_accept(k_acc, ratio)
         position = jnp.where(accept, x_new, x)
