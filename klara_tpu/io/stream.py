@@ -22,13 +22,28 @@ import numpy as np
 
 
 class StreamingWriter:
-    """Appends rows of draws to one file per field."""
+    """Appends rows of draws to one file per field.
 
-    def __init__(self, filepath: str, filesuffix: str = "csv", flush: bool = False):
+    ``sample_fields`` (optional) marks which field names are monitored
+    samples (the rest are diagnostics); on close a ``manifest.json`` +
+    per-field ``.shape`` sidecars are written so the directory round-trips
+    through ``klara_tpu.io.read_chain`` into a typed Chain (reference
+    `read` → NState, BasicContParamIOStream.jl:203-262)."""
+
+    def __init__(
+        self,
+        filepath: str,
+        filesuffix: str = "csv",
+        flush: bool = False,
+        sample_fields: Optional[set] = None,
+    ):
         self.filepath = filepath
         self.filesuffix = filesuffix
         self.flush = flush
+        self.sample_fields = sample_fields
         self._handles: Dict[str, object] = {}
+        self._shapes: Dict[str, tuple] = {}
+        self._rows: Dict[str, int] = {}
         os.makedirs(filepath, exist_ok=True)
 
     def _handle(self, name):
@@ -43,6 +58,8 @@ class StreamingWriter:
         if bool(do_save):
             for name, arr in fields.items():
                 arr = np.asarray(arr, dtype=np.float64)
+                self._shapes.setdefault(name, arr.shape)
+                self._rows[name] = self._rows.get(name, 0) + 1
                 row = ",".join(f"{v:.9g}" for v in arr.reshape(-1))
                 h = self._handle(name)
                 h.write(row + "\n")
@@ -54,6 +71,26 @@ class StreamingWriter:
         for h in self._handles.values():
             h.close()
         self._handles.clear()
+        if self._shapes:
+            from klara_tpu.io.csvio import _write_manifest
+
+            shapes = {
+                name: (self._rows.get(name, 0),) + shape
+                for name, shape in self._shapes.items()
+            }
+            for name, shape in shapes.items():
+                with open(
+                    os.path.join(self.filepath, f"{name}.shape"), "w"
+                ) as f:
+                    f.write(",".join(map(str, shape)))
+            if self.sample_fields is None:
+                samples, diagnostics = list(self._shapes), []
+            else:
+                samples = [n for n in self._shapes if n in self.sample_fields]
+                diagnostics = [n for n in self._shapes if n not in self.sample_fields]
+            _write_manifest(
+                self.filepath, samples, diagnostics, shapes, self.filesuffix
+            )
 
     def __enter__(self):
         return self

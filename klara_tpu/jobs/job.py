@@ -393,15 +393,13 @@ class MCJob:
         reference draws NaN-initialised values from the parameter's
         pdf/prior (src/jobs/BasicMCJob.jl:59-67).
         """
-        if x0 is None:
-            draw_key, key = jax.random.split(key)
-            x0 = jax.vmap(self.target.sample_prior)(
-                jax.random.split(draw_key, self.n_chains)
-            )
+        key, x0 = self._prepare_x0(key, x0)
         if self.destination == "csv" and self._writer is None:
             from klara_tpu.io.stream import StreamingWriter
 
-            self._writer = StreamingWriter(self.filepath, flush=self.flush)
+            self._writer = StreamingWriter(
+                self.filepath, flush=self.flush, sample_fields=set(self.monitor)
+            )
         self._checkin(x0)
         run_jit = self._run_jit
         if self.mesh is not None:
@@ -416,7 +414,96 @@ class MCJob:
         if self._writer is not None:
             jax.block_until_ready(chain.final_state)
             self._writer.close()
-        return chain
+        return self._squeeze(chain)
+
+    # ------------------------------------------------------- univariate lift
+    def _prepare_x0(self, key, x0):
+        """Normalise the initial value; draw from the prior when omitted;
+        auto-lift scalar positions to dim-1 vectors so EVERY sampler
+        (including the vector-only AM/RAM/AMWG/slice/SMMALA) handles
+        univariate targets — the reference's BasicContUnvParameter path
+        (src/variables/parameters/BasicContUnvParameter.jl).  Traces are
+        squeezed back to scalars on output."""
+        from_prior = x0 is None
+        if from_prior:
+            draw_key, key = jax.random.split(key)
+            x0 = jax.vmap(self.target.sample_prior)(
+                jax.random.split(draw_key, self.n_chains)
+            )
+        x0 = jnp.asarray(x0)
+        scalar = (
+            x0.ndim == 0
+            or (from_prior and x0.ndim == 1)  # per-chain scalar prior draws
+            or (
+                x0.ndim == 1
+                and self.n_chains > 1
+                and x0.shape[0] == self.n_chains
+                and self.target.dim == 1
+            )
+        )
+        if scalar:
+            self._lift_target()
+            x0 = x0[..., None]
+        return key, x0
+
+    def _lift_target(self):
+        if getattr(self, "_lifted", False):
+            return
+        orig = self.target
+
+        def wrap_scalar(f):
+            return None if f is None else (lambda x, *a: f(x[0], *a))
+
+        def wrap_grad(f):
+            return (
+                None
+                if f is None
+                else (lambda x, *a: jnp.reshape(f(x[0], *a), (1,)))
+            )
+
+        def wrap_vg(f):
+            if f is None:
+                return None
+
+            def vg(x, *a):
+                v, g = f(x[0], *a)
+                return v, jnp.reshape(g, (1,))
+
+            return vg
+
+        self.target = dataclasses.replace(
+            orig,
+            logdensity_fn=wrap_scalar(orig.logdensity_fn),
+            loglikelihood_fn=wrap_scalar(orig.loglikelihood_fn),
+            logprior_fn=wrap_scalar(orig.logprior_fn),
+            grad_fn=wrap_grad(orig.grad_fn),
+            value_and_grad_fn=wrap_vg(orig.value_and_grad_fn),
+            tensor_fn=None
+            if orig.tensor_fn is None
+            else (lambda x, *a: jnp.reshape(orig.tensor_fn(x[0], *a), (1, 1))),
+            dtensor_fn=None
+            if orig.dtensor_fn is None
+            else (lambda x, *a: jnp.reshape(orig.dtensor_fn(x[0], *a), (1, 1, 1))),
+            dim=1,
+        )
+        self._lifted = True
+
+    def _squeeze(self, chain: Chain) -> Chain:
+        """Drop the lifted trailing dim-1 axis from trace buffers so scalar
+        targets yield scalar draw series (final_state stays lifted for
+        resume)."""
+        if not getattr(self, "_lifted", False):
+            return chain
+
+        def sq(d):
+            return {
+                k: (v[..., 0] if (v.ndim >= 3 and v.shape[-1] == 1) else v)
+                for k, v in d.items()
+            }
+
+        return dataclasses.replace(
+            chain, samples=sq(chain.samples), diagnostics=sq(chain.diagnostics)
+        )
 
     def _checkin(self, x0):
         """Init-time validation — reference `checkin` + the per-sampler
@@ -442,7 +529,9 @@ class MCJob:
         if self.destination == "csv" and self._writer is None:
             from klara_tpu.io.stream import StreamingWriter
 
-            self._writer = StreamingWriter(self.filepath, flush=self.flush)
+            self._writer = StreamingWriter(
+                self.filepath, flush=self.flush, sample_fields=set(self.monitor)
+            )
         if self.mesh is not None:
             def reshard(x):
                 x = jnp.asarray(x)
@@ -459,7 +548,7 @@ class MCJob:
         if self._writer is not None:
             jax.block_until_ready(out.final_state)
             self._writer.close()
-        return out
+        return self._squeeze(out)
 
     def _resume_run(self, key, chain: Chain) -> Chain:
         def _resumed(states, chain_keys):

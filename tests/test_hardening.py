@@ -177,3 +177,124 @@ def test_run_without_x0_and_without_prior_raises():
     job = kt.MCJob(std_normal(2), kt.MH(), kt.MCRange(n_steps=10, burnin=0), n_chains=2)
     with pytest.raises(ValueError, match="prior"):
         job.run(jax.random.key(9))
+
+
+# ------------------------------------------------- univariate auto-lift
+@pytest.mark.parametrize(
+    "sampler",
+    [
+        kt.MH(sigma=0.8),
+        kt.MALA(driftstep=0.5),
+        kt.HMC(leapstep=0.5, nleaps=5),
+        kt.AM(),
+        kt.RAM(),
+        kt.AMWG(sigma0=0.8),
+        kt.SliceSampler(widths=2.0),
+        kt.SMMALA(driftstep=0.8),
+        kt.NUTS(leapstep=0.5),
+    ],
+    ids=lambda s: type(s).__name__,
+)
+def test_univariate_scalar_positions_all_samplers(sampler):
+    """The reference's 1-D normal workload (test/BasicMCJob.jl:1-83 /
+    BasicContUnvParameter): scalar x0 must work through EVERY sampler via
+    the dim-1 auto-lift, with scalar draw series out."""
+    mu = 1.5
+    target = kt.Target(logdensity_fn=lambda x: -0.5 * (x - mu) ** 2, dim=1)
+    job = kt.MCJob(
+        target,
+        sampler,
+        kt.MCRange(n_steps=1500, burnin=500),
+        n_chains=16,
+    )
+    chain = job.run(jax.random.key(0), jnp.asarray(0.0))
+    # scalar series: (n_post, n_chains), no trailing dim
+    assert chain.value.shape == (1000, 16)
+    flat = np.asarray(chain.flat("value"))
+    assert abs(flat.mean() - mu) < 0.1
+    assert abs(flat.std() - 1.0) < 0.15
+
+
+def test_univariate_per_chain_scalars_with_dim1():
+    target = kt.Target(logdensity_fn=lambda x: -0.5 * x**2, dim=1)
+    job = kt.MCJob(target, kt.AM(), kt.MCRange(n_steps=800, burnin=200), n_chains=8)
+    x0 = jnp.linspace(-2.0, 2.0, 8)  # per-chain scalar starts
+    chain = job.run(jax.random.key(1), x0)
+    assert chain.value.shape == (600, 8)
+    assert abs(np.asarray(chain.flat("value")).mean()) < 0.12
+
+
+# ------------------------------------ MH non-normalised proposal correction
+def test_mh_nonnormalised_proposal_correction():
+    """Truncated-normal random-walk proposal with its normaliser split out:
+    MH(normalised=False) must apply the lognormaliser correction
+    (reference src/samplers/iterate/MH.jl:14-24) and recover the same
+    posterior as the fully-normalised proposal."""
+    from klara_tpu.distributions import TruncatedNormal
+
+    class UnnormalisedTruncNorm(TruncatedNormal):
+        """logpdf WITHOUT the truncation normaliser."""
+
+        def logpdf(self, x):
+            return super().logpdf(x) + self.lognormaliser()
+
+    lo = 0.0
+    # target: standard normal truncated to x >= 0 (scalar)
+    target = kt.Target(
+        logdensity_fn=lambda x: jnp.where(
+            jnp.all(x >= lo), -0.5 * jnp.sum(x * x), -jnp.inf
+        ),
+        dim=1,
+    )
+
+    def prop(kind):
+        if kind == "normalised":
+            return kt.MH(
+                proposal_fn=lambda x, s: TruncatedNormal(x, 0.8 * s, lo, jnp.inf),
+                symmetric=False,
+            )
+        return kt.MH(
+            proposal_fn=lambda x, s: UnnormalisedTruncNorm(x, 0.8 * s, lo, jnp.inf),
+            symmetric=False,
+            normalised=False,
+        )
+
+    means = {}
+    for kind in ("normalised", "unnormalised"):
+        job = kt.MCJob(
+            target, prop(kind), kt.MCRange(n_steps=4000, burnin=500), n_chains=16
+        )
+        chain = job.run(jax.random.key(3), jnp.asarray(0.5))
+        flat = np.asarray(chain.flat("value"))
+        assert flat.min() >= lo
+        means[kind] = flat.mean()
+    # half-normal mean = sqrt(2/pi) ~ 0.7979
+    for kind, m in means.items():
+        assert abs(m - 0.7979) < 0.05, (kind, m)
+
+
+# -------------------------------------------------------- Data.update hook
+def test_gibbs_data_update_hook():
+    """Data.update refreshes the data value at the start of every sweep
+    (reference variables.jl:84-92 declares the hook)."""
+    from klara_tpu.distributions import Normal
+
+    # y doubles as a sweep counter: update increments it each sweep; the
+    # parameter's conditional is centred at y, so the trace reveals the
+    # refreshed values.
+    y = kt.Data("y", update=lambda v: v["y"] + 1.0)
+    p = kt.GibbsParameter("p", setpdf=lambda v: Normal(v["y"], 0.001))
+    model = kt.likelihood_model([y, p])
+    job = kt.GibbsJob(model, {}, kt.MCRange(n_steps=5, burnin=0), n_chains=2)
+    chains = job.run(jax.random.key(0), {"y": 0.0, "p": 0.0})
+    draws = np.asarray(chains["p"])  # (5, 2)
+    np.testing.assert_allclose(draws.mean(axis=1), [1, 2, 3, 4, 5], atol=0.05)
+
+
+def test_univariate_resume_squeezes():
+    target = kt.Target(logdensity_fn=lambda x: -0.5 * x**2, dim=1)
+    job = kt.MCJob(target, kt.MALA(0.9), kt.MCRange(n_steps=300, burnin=100), n_chains=4)
+    chain = job.run(jax.random.key(0), jnp.asarray(0.0))
+    resumed = job.resume(jax.random.key(1), chain)
+    assert chain.value.shape == (200, 4)
+    assert resumed.value.shape == (200, 4)

@@ -22,6 +22,10 @@ from klara_tpu.io import (
 )
 
 
+def _target():
+    return kt.Target(logdensity_fn=lambda x: -0.5 * jnp.sum(jnp.square(x)), dim=2)
+
+
 def _small_chain(n_chains=4, destination="nstate", **kwargs):
     target = kt.Target(logdensity_fn=lambda x: -0.5 * jnp.sum(jnp.square(x)), dim=2)
     job = kt.MCJob(
@@ -104,3 +108,91 @@ def test_destination_none():
     job, chain = _small_chain(destination="none")
     assert chain.samples == {} and chain.diagnostics == {}
     assert chain.final_state.position.shape == (4, 2)
+
+
+def test_read_chain_typed_roundtrip(tmp_path):
+    """write_chain_csv -> read_chain returns a typed Chain that feeds the
+    stats layer identically to the device trace (reference read -> NState,
+    BasicContParamIOStream.jl:203-262)."""
+    from klara_tpu.io import read_chain, write_chain_csv
+
+    job = kt.MCJob(
+        _target(),
+        kt.MH(sigma=0.5),
+        kt.MCRange(n_steps=500, burnin=100),
+        n_chains=4,
+        monitor=("value", "logtarget"),
+        diagnostics=("accept",),
+    )
+    chain = job.run(jax.random.key(11), jnp.zeros(2))
+    d = str(tmp_path / "trip")
+    write_chain_csv(chain, d)
+    back = read_chain(d)
+    assert set(back.samples) == {"value", "logtarget"}
+    assert set(back.diagnostics) == {"accept"}
+    assert isinstance(back, type(chain))
+    np.testing.assert_allclose(
+        np.asarray(back.value), np.asarray(chain.value), rtol=1e-6, atol=1e-7
+    )
+    # stats layer accepts the reconstructed chain directly
+    np.testing.assert_allclose(
+        np.asarray(kt.stats.mean(back)), np.asarray(kt.stats.mean(chain)), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(kt.stats.ess(back)), np.asarray(kt.stats.ess(chain)), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(kt.stats.acceptance(back)), float(kt.stats.acceptance(chain)), rtol=1e-6
+    )
+
+
+def test_streamed_csv_reads_back_as_chain(tmp_path):
+    """destination='csv' output round-trips into a Chain with identical
+    stats to the device trace."""
+    from klara_tpu.io import read_chain
+
+    d = str(tmp_path / "stream")
+    job_csv = kt.MCJob(
+        _target(),
+        kt.MH(sigma=0.5),
+        kt.MCRange(n_steps=400, burnin=100),
+        n_chains=4,
+        monitor=("value",),
+        diagnostics=("accept",),
+        destination="csv",
+        filepath=d,
+    )
+    chain = job_csv.run(jax.random.key(12), jnp.zeros(2))
+    back = read_chain(d)
+    assert back.samples["value"].shape == (300, 4, 2)
+    assert "accept" in back.diagnostics
+    ess_stream = np.asarray(kt.stats.ess(back))
+    assert np.isfinite(ess_stream).all() and (ess_stream > 0).all()
+
+
+def test_chain_reader_mark_reset(tmp_path):
+    """mark/reset stream control (reference BasicContParamIOStream.jl:125-141)."""
+    from klara_tpu.io import ChainReader, write_chain_csv
+
+    job = kt.MCJob(
+        _target(), kt.MH(sigma=0.5), kt.MCRange(n_steps=300, burnin=100), n_chains=2
+    )
+    chain = job.run(jax.random.key(13), jnp.zeros(2))
+    d = str(tmp_path / "reader")
+    write_chain_csv(chain, d)
+
+    with ChainReader(d, fields=["value"]) as r:
+        first = r.read_new()["value"]
+        assert first.shape[0] == 200
+        # nothing new since
+        assert r.read_new()["value"].shape[0] == 0
+        # reset rewinds to the (default: start) mark
+        r.reset()
+        again = r.read_new()["value"]
+        np.testing.assert_array_equal(first, again)
+        # mark partway: read after reset returns only the tail
+        r.reset()
+        r.mark()
+        _ = r.read_new()
+        r.reset()
+        assert r.read_new()["value"].shape[0] == 200
