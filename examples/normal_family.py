@@ -1,0 +1,93 @@
+"""2-D unnormalised normal target across the MH-family sampler zoo.
+
+Reference: README.md:23-70 (MH on the 2-D normal), README.md:153-198
+(MALA + AcceptanceRateMCTuner(0.6)), README.md:206-264 (forward/reverse
+AD variants -> the single jax.grad path), plus the AM/RAM/AMWG/slice/ARS
+variants exercised across test/*.jl.  Posterior: N(0, I2); every example
+asserts mean ~ 0 and sd ~ 1.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import klara_tpu as kt
+
+
+def _target(analytical=False):
+    if analytical:
+        return kt.Target(
+            logdensity_fn=lambda x: -0.5 * jnp.sum(x * x),
+            grad_fn=lambda x: -x,
+            dim=2,
+        )
+    return kt.Target(logdensity_fn=lambda x: -0.5 * jnp.sum(x * x), dim=2)
+
+
+def _check(chain, name, rate_band=None):
+    flat = np.asarray(chain.flat("value"))
+    mean, sd = flat.mean(axis=0), flat.std(axis=0)
+    rate = float(kt.stats.acceptance(chain))
+    print(f"{name:28s} mean={np.round(mean, 3)} sd={np.round(sd, 3)} acc={rate:.3f}")
+    assert np.abs(mean).max() < 0.1, (name, mean)
+    np.testing.assert_allclose(sd, 1.0, atol=0.12, err_msg=name)
+    if rate_band is not None:
+        assert rate_band[0] < rate < rate_band[1], (name, rate)
+
+
+def _run(sampler, tuner=None, analytical=False, n_chains=32,
+         n_steps=10000, burnin=1000, **kw):
+    job = kt.MCJob(
+        _target(analytical),
+        sampler,
+        kt.MCRange(n_steps=n_steps, burnin=burnin),
+        tuner=tuner,
+        n_chains=n_chains,
+        **kw,
+    )
+    return job.run(jax.random.key(0), jnp.array([1.25, 3.11]))
+
+
+# each entry mirrors a reference README/test workload
+NORMAL_EXAMPLES = {
+    # README.md:23-70: vanilla MH, 10k steps / 1k burnin
+    "normal_mh": lambda: _check(_run(kt.MH(sigma=1.0)), "normal MH", (0.2, 0.6)),
+    # README.md:153-198: MALA tuned to 60% acceptance
+    "normal_mala_tuned": lambda: _check(
+        _run(kt.MALA(0.9), kt.AcceptanceRateTuner(0.6)),
+        "normal MALA tuned(0.6)",
+        (0.5, 0.7),
+    ),
+    # README.md:206-264: AD-gradient variants (jax.grad replaces both modes)
+    "normal_mala_analytical": lambda: _check(
+        _run(kt.MALA(0.9), analytical=True), "normal MALA analytical"
+    ),
+    "normal_mala_ad": lambda: _check(_run(kt.MALA(0.9)), "normal MALA jax.grad"),
+    # adaptive Metropolis family
+    "normal_am": lambda: _check(_run(kt.AM()), "normal AM"),
+    "normal_ram": lambda: _check(
+        _run(kt.RAM(S0=1.0)), "normal RAM", (0.1, 0.4)
+    ),
+    "normal_amwg": lambda: _check(
+        _run(kt.AMWG(sigma0=1.0)), "normal AMWG", (0.3, 0.6)
+    ),
+    # slice sampler (always accepts)
+    "normal_slice": lambda: _check(
+        _run(kt.SliceSampler(widths=2.0), n_steps=5000), "normal slice"
+    ),
+    # HMC with dual averaging (fixed trajectory length, dynamic nleaps)
+    "normal_hmc_da": lambda: _check(
+        _run(kt.HMC(0.2, 8), kt.DualAveragingTuner(0.8, 1000), n_steps=5000),
+        "normal HMC dual-avg",
+        (0.6, 1.0),
+    ),
+}
+
+
+def main(n_chains=32):
+    for fn in NORMAL_EXAMPLES.values():
+        fn()
+
+
+if __name__ == "__main__":
+    main()

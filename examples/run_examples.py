@@ -1,6 +1,14 @@
-"""Run every example end-to-end (reference doc/examples/runexamples.jl).
+"""Run every example end-to-end with ASSERTED posterior checks.
 
-Usage: python examples/run_examples.py [--cpu]
+Counterpart of the reference's doc/examples/runexamples.jl:1-57 (which
+`include`s ~49 scripts and eyeballs `mean(chain)`), promoted to hard
+assertions.  The example matrix mirrors examples.csv: the swiss
+Bayesian-logistic-regression x {MALA,SMMALA,RAM,HMC,NUTS,slice} x
+{analytical, AD} grid, the Normal family across the sampler zoo, Gamma,
+Poisson (discrete support), Student-t, bivariate-normal Gibbs, and the
+rats hierarchical model.
+
+Usage: python examples/run_examples.py [--cpu] [--only SUBSTR]
 """
 
 import argparse
@@ -9,20 +17,33 @@ import os
 import sys
 import time
 
-EXAMPLES = [
-    "readme_normal",
-    "bivariate_normal_gibbs",
-    "poisson_mh",
-    "gamma_mh",
-    "normal_adaptive",
-    "swiss_samplers",
-    "rats_gibbs",
-]
+
+def build_registry():
+    """name -> zero-arg callable; each runs + asserts one example."""
+    registry = {}
+
+    # single-file examples exposing main()
+    for name in (
+        "readme_normal",
+        "bivariate_normal_gibbs",
+        "poisson_mh",
+        "gamma_mh",
+        "normal_adaptive",
+        "rats_gibbs",
+    ):
+        registry[name] = importlib.import_module(name).main
+
+    # parametrised families
+    registry.update(importlib.import_module("swiss_matrix").SWISS_EXAMPLES)
+    registry.update(importlib.import_module("normal_family").NORMAL_EXAMPLES)
+    registry.update(importlib.import_module("t_mh").T_EXAMPLES)
+    return registry
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true", help="run on the CPU platform")
+    ap.add_argument("--only", default=None, help="substring filter")
     args = ap.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -33,11 +54,24 @@ def main():
     here = os.path.dirname(os.path.abspath(__file__))
     sys.path.insert(0, os.path.dirname(here))  # repo root (klara_tpu)
     sys.path.insert(0, here)
-    for name in EXAMPLES:
-        print(f"===== {name} =====", flush=True)
+
+    registry = build_registry()
+    names = [n for n in registry if args.only is None or args.only in n]
+    print(f"{len(names)} examples")
+    failed = []
+    for i, name in enumerate(names, 1):
+        print(f"===== [{i}/{len(names)}] {name} =====", flush=True)
         t0 = time.perf_counter()
-        importlib.import_module(name).main()
-        print(f"----- {name}: {time.perf_counter()-t0:.1f}s", flush=True)
+        try:
+            registry[name]()
+            print(f"----- {name}: OK {time.perf_counter()-t0:.1f}s", flush=True)
+        except AssertionError as e:
+            failed.append(name)
+            print(f"----- {name}: FAILED {e}", flush=True)
+    if failed:
+        print(f"FAILED: {failed}")
+        sys.exit(1)
+    print(f"all {len(names)} examples passed")
 
 
 if __name__ == "__main__":
