@@ -88,7 +88,9 @@ def run_case(
         n_chains=n_chains,
         monitor=("value",),
         pooled_tuning=True,
-        mass_adaptation=True,
+        # ensemble variance needs a real ensemble; the single-chain
+        # baseline (the reference's execution model) runs without it
+        mass_adaptation=n_chains >= 32,
         mass_period=50,
     )
     x0 = 0.1 * jax.random.normal(jax.random.key(42), (n_chains, dim), jnp.float32)
