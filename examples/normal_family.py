@@ -81,7 +81,35 @@ NORMAL_EXAMPLES = {
         "normal HMC dual-avg",
         (0.6, 1.0),
     ),
+    # acceptance-rejection with a wide normal envelope — the reference's
+    # test/ARS.jl:1-40 config verbatim: target N(0,1) shape, envelope
+    # N(0,2), proposalscale=log(10).  NOTE: like the reference kernel
+    # (iterate/ARS.jl:6-14), rejected moves keep the last value, so the
+    # chain is over-dispersed relative to the target — we assert the
+    # kernel's actual behavior (centred, sd between target and envelope),
+    # not an exactness the reference never had.
+    "normal_ars": lambda: _ars_example(),
 }
+
+
+def _ars_example():
+    import math
+
+    chain = _run(
+        kt.ARS(
+            logproposal=lambda x: -jnp.sum(x * x) / 8.0
+            - jnp.log(2.0 * jnp.sqrt(2.0 * jnp.pi)),
+            proposalscale=math.log(10.0),
+            jumpscale=1.0,
+        ),
+    )
+    flat = np.asarray(chain.flat("value"))
+    mean, sd = flat.mean(axis=0), flat.std(axis=0)
+    rate = float(kt.stats.acceptance(chain))
+    print(f"{'normal ARS':28s} mean={np.round(mean, 3)} sd={np.round(sd, 3)} acc={rate:.3f}")
+    assert np.abs(mean).max() < 0.15
+    assert np.all(sd > 0.9) and np.all(sd < 2.1)
+    assert 0.01 < rate < 0.5  # M=10 envelope scale makes acceptance rare
 
 
 def main(n_chains=32):

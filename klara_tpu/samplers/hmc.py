@@ -54,6 +54,12 @@ class HMC(Sampler):
     # bind_tuner when the tuner is DualAveraging (reference
     # src/samplers/iterate/HMC.jl:142-144); user-settable for testing
     dynamic_nleaps: bool = False
+    # TPU-native extension (no reference counterpart): multiply the
+    # trajectory length by U(1-jitter, 1+jitter) each step to break the
+    # resonances a FIXED trajectory hits on near-Gaussian targets
+    # (Neal 2011 §3.2 recommends jittering ε or L).  Only active with
+    # dynamic_nleaps.
+    jitter: float = 0.0
 
     tuner_statistic = "accept_stat"
 
@@ -87,16 +93,21 @@ class HMC(Sampler):
         inv_mass = jnp.ones_like(position)
         return HMCState(position, lt, grad, inv_mass, tune)
 
-    def _nleaps(self, eps):
+    def _nleaps(self, eps, k_jit=None):
         if not self.dynamic_nleaps:
             return self.nleaps
         lam = self.trajectory_length
         if lam is None:
             lam = self.nleaps * self.leapstep
+        if self.jitter > 0.0 and k_jit is not None:
+            lam = lam * jax.random.uniform(
+                k_jit, minval=1.0 - self.jitter, maxval=1.0 + self.jitter
+            )
         n = jnp.round(lam / eps).astype(jnp.int32)
         return jnp.clip(n, 1, self.max_nleaps)
 
     def step(self, key, state: HMCState, target: Target):
+        key, k_jit = jax.random.split(key)
         k_mom, k_acc = jax.random.split(key)
         x, lt, grad = state.position, state.logtarget, state.gradlogtarget
         eps = state.tune.step
@@ -105,7 +116,7 @@ class HMC(Sampler):
         p0 = sample_momentum(k_mom, x, inv_mass)
         h0 = hamiltonian(lt, p0, inv_mass)
 
-        nleaps = self._nleaps(eps)
+        nleaps = self._nleaps(eps, k_jit)
         pp = leapfrog(
             target,
             PhasePoint(x, p0, lt, grad),

@@ -298,3 +298,25 @@ def test_univariate_resume_squeezes():
     resumed = job.resume(jax.random.key(1), chain)
     assert chain.value.shape == (200, 4)
     assert resumed.value.shape == (200, 4)
+
+
+def test_hmc_trajectory_jitter():
+    """jitter=0.2 randomises nleaps around round(lambda/eps) per step/chain
+    while keeping the posterior exact."""
+    sampler = kt.HMC(
+        leapstep=0.1, nleaps=10, jitter=0.2, dynamic_nleaps=True
+    )  # lambda = 1.0, fixed eps=0.1 -> nleaps jitters in ~[8, 12]
+    job = kt.MCJob(
+        std_normal(2),
+        sampler,
+        kt.MCRange(n_steps=2000, burnin=800),
+        n_chains=16,
+        step_size=0.1,
+        diagnostics=("nleaps",),
+    )
+    chain = job.run(jax.random.key(10), jnp.zeros(2))
+    nleaps = np.asarray(chain["nleaps"])
+    assert len(np.unique(nleaps)) > 1  # actually jittered
+    flat = np.asarray(chain.flat("value"))
+    assert np.abs(flat.mean(axis=0)).max() < 0.1
+    np.testing.assert_allclose(flat.std(axis=0), 1.0, atol=0.12)
