@@ -41,7 +41,7 @@ from klara_tpu.tuners import (
     RobertsRosenthalTuner,
     VanillaTuner,
 )
-from klara_tpu import distributions, stats
+from klara_tpu import distributions, io, parallel, stats
 
 __version__ = "0.1.0"
 
