@@ -149,8 +149,11 @@ class Target:
                 "target has no `prior` distribution to draw initial values "
                 "from; pass x0 explicitly or set Target(prior=...)"
             )
-        event_dim = getattr(self.prior, "dim", None)
-        if event_dim is None and self.dim is not None:
+        # a multivariate prior's sample(key) already carries its event
+        # shape (MvNormal -> (d,), Dirichlet -> (k,), ...); only a SCALAR
+        # prior needs broadcasting to the target dimension
+        probe = jax.eval_shape(lambda k: self.prior.sample(k), key)
+        if probe.shape == () and self.dim is not None:
             # scalar (per-component iid) prior over a dim-D position
             return jnp.asarray(self.prior.sample(key, (self.dim,)))
         return jnp.asarray(self.prior.sample(key))

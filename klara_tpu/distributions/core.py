@@ -190,9 +190,16 @@ class TruncatedNormal(Distribution):
     """Normal(loc, scale) truncated to [low, high].
 
     `lognormaliser` replicates the reference's `lognormalise`
-    (src/distributions/TruncatedNormal.jl:1-3), used by MH for
-    non-normalised proposal corrections (src/samplers/iterate/MH.jl:14-24)
-    and by AMWG's truncated proposals (src/samplers/iterate/AMWG.jl:14-29).
+    (src/distributions/TruncatedNormal.jl:1-3); it is used by AMWG's
+    truncated-proposal asymmetry correction (src/samplers/iterate/
+    AMWG.jl:14-29).
+
+    NOTE: this class's ``logpdf`` is fully NORMALISED (it already
+    subtracts ``lognormaliser``), so use it with plain
+    ``MH(symmetric=False)`` — NOT with ``MH(normalised=False)``, which is
+    only for proposal objects whose logpdf omits the normaliser
+    (reference src/samplers/iterate/MH.jl:14-24) and would double-count
+    it here.
     """
 
     loc: Any = 0.0

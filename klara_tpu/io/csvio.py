@@ -89,15 +89,19 @@ def read_chain_csv(filepath: str, fields=None, filesuffix: str = "csv"):
             if f.endswith(f".{filesuffix}")
         ]
     for name in names:
+        # ndmin=2 keeps a single-row file as (1, D), not a (D,) vector
         flat = np.loadtxt(
-            os.path.join(filepath, f"{name}.{filesuffix}"), delimiter=","
+            os.path.join(filepath, f"{name}.{filesuffix}"), delimiter=",", ndmin=2
         )
-        if flat.ndim == 1:
-            flat = flat[:, None]
         shape_file = os.path.join(filepath, f"{name}.shape")
         if os.path.exists(shape_file):
             with open(shape_file) as f:
                 shape = tuple(int(s) for s in f.read().split(","))
+            # tolerate stale row counts (e.g. a sidecar written eagerly at
+            # stream start, or a run that died mid-stream): trust the data
+            # for the draws axis, the sidecar for the event shape
+            if int(np.prod(shape)) != flat.size:
+                shape = (flat.shape[0],) + shape[1:]
             flat = flat.reshape(shape)
         out[name] = flat
     return out
@@ -162,11 +166,20 @@ class ChainReader:
                     if f.endswith(f".{filesuffix}")
                 ]
         self.fields = list(fields)
+        # binary mode: byte-exact tell/seek for the partial-line rewind
         self._handles = {
-            name: open(os.path.join(filepath, f"{name}.{filesuffix}"), "r")
+            name: open(os.path.join(filepath, f"{name}.{filesuffix}"), "rb")
             for name in self.fields
         }
         self._marks = {name: 0 for name in self.fields}
+        # column counts (for shape-stable empty reads) from the manifest
+        # when available, else learned from the first non-empty read
+        self._ncols = {}
+        manifest = _read_manifest(filepath)
+        if manifest is not None:
+            for name, shape in manifest.get("shapes", {}).items():
+                if len(shape) >= 2:
+                    self._ncols[name] = int(np.prod(shape[1:]))
 
     def mark(self):
         """Record current positions (reference `mark`, :125-132)."""
@@ -179,16 +192,27 @@ class ChainReader:
 
     def read_new(self) -> Dict[str, np.ndarray]:
         """Rows appended since the last read (or since mark+reset), as
-        {field: (n_new_rows, n_cols) array}; empty fields get (0, 0)."""
+        {field: (n_new_rows, n_cols) array}; fields with no new complete
+        rows yield (0, n_cols) ((0, 0) when the width is not yet known).
+
+        Safe against a concurrently-appending writer: only data up to the
+        last newline is consumed — a partially-flushed trailing line is
+        left in the file for the next read."""
         out = {}
         for name, h in self._handles.items():
-            lines = [ln for ln in h.read().splitlines() if ln.strip()]
+            pos = h.tell()
+            chunk = h.read()
+            cut = chunk.rfind(b"\n") + 1  # consume complete lines only
+            h.seek(pos + cut)
+            lines = [
+                ln for ln in chunk[:cut].decode().splitlines() if ln.strip()
+            ]
             if lines:
-                out[name] = np.asarray(
-                    [[float(v) for v in ln.split(",")] for ln in lines]
-                )
+                arr = np.asarray([[float(v) for v in ln.split(",")] for ln in lines])
+                self._ncols.setdefault(name, arr.shape[1])
+                out[name] = arr
             else:
-                out[name] = np.zeros((0, 0))
+                out[name] = np.zeros((0, self._ncols.get(name, 0)))
         return out
 
     def close(self):
