@@ -122,6 +122,8 @@ class GibbsJob:
     record_diagnostics: bool = True
     mesh: Optional[Mesh] = None
     chains_axis: str = "chains"
+    # csv streaming flushes once per `stream_chunk` sweeps (cf. MCJob)
+    stream_chunk: int = 128
 
     def __post_init__(self):
         self._dependents = self.model.dependents
@@ -135,6 +137,16 @@ class GibbsJob:
         ]
         if self.monitor is None:
             self.monitor = [v.key for v in self._dependents]
+        # specialise nested samplers to their tuners (e.g. HMC fixed
+        # trajectory length under dual averaging), same as MCJob
+        self.sweep = {
+            k: (
+                dataclasses.replace(spec, sampler=spec.sampler.bind_tuner(spec.tuner))
+                if spec.tuner is not None
+                else spec
+            )
+            for k, spec in self.sweep.items()
+        }
         for key in self.sweep:
             if key not in self.model:
                 raise ValueError(f"sweep references unknown variable {key!r}")
@@ -159,7 +171,7 @@ class GibbsJob:
         if unknown:
             raise ValueError(f"outopts for unmonitored variables: {sorted(unknown)}")
         self._writers = {}
-        self._run_jit = jax.jit(self._run)
+        self._run_jit = jax.jit(self._run, static_argnames=("prebatched",))
 
     # ---------------------------------------------------------------- sweep
     def _block_update(self, var, values: Dict[str, Any], key):
@@ -244,7 +256,7 @@ class GibbsJob:
         return [u.key for u in self._updatable] + [v.key for v in self._dependents]
 
     # ------------------------------------------------------------------ run
-    def _run(self, key, v0: Dict[str, Any]):
+    def _run(self, key, v0: Dict[str, Any], prebatched: bool = False):
         burnin, thinning = self.mcrange.burnin, self.mcrange.thinning
         n_post = self.mcrange.n_post
         chain_keys = jax.random.split(key, self.n_chains)
@@ -259,6 +271,8 @@ class GibbsJob:
 
         def batch(x):
             x = jnp.asarray(x)
+            if prebatched:  # resume path: values already (n_chains, ...)
+                return x
             return jnp.broadcast_to(x, (self.n_chains,) + x.shape)
 
         values0 = {k: batch(v0[k]) for k in carry_keys}
@@ -311,22 +325,77 @@ class GibbsJob:
             buffers, diag_buffers = jax.lax.cond(
                 do_save, write, lambda b: b, (buffers, diag_buffers)
             )
+            if not csv_keys:
+                return (values, buffers, diag_buffers), None
+            return (values, buffers, diag_buffers), (
+                do_save,
+                {k: values[k] for k in csv_keys},
+            )
 
-            for k in csv_keys:
-                from jax.experimental import io_callback
+        n_steps = self.mcrange.n_steps
+        if not csv_keys:
+            (values, buffers, diag_buffers), _ = jax.lax.scan(
+                scan_body, (values0, buffers, diag_buffers), jnp.arange(n_steps)
+            )
+        else:
+            # chunked host flush: saved sweeps accumulate in a device ring
+            # buffer; ONE ordered io_callback per stream_chunk sweeps per
+            # variable (cf. MCJob._drive — per-step round-trips dominate
+            # on real TPUs)
+            from jax.experimental import io_callback
 
-                io_callback(
-                    self._writers[k].append,
-                    jax.ShapeDtypeStruct((), jnp.int32),
-                    do_save,
-                    {k: values[k]},
-                    ordered=True,
+            chunk = max(1, min(self.stream_chunk, n_steps))
+            n_outer = -(-n_steps // chunk)
+            sbufs = {
+                k: jnp.zeros((chunk,) + values0[k].shape, values0[k].dtype)
+                for k in csv_keys
+            }
+
+            def outer_body(carry, o):
+                values, buffers, diag_buffers, sbufs = carry
+
+                def inner(j, c):
+                    values, buffers, diag_buffers, sbufs, count = c
+                    i = o * chunk + j
+                    valid = i < n_steps
+                    new_carry, (do_save, fields) = scan_body(
+                        (values, buffers, diag_buffers), i
+                    )
+                    # padding steps (i >= n_steps) must leave values AND the
+                    # device trace buffers untouched (outopts may mix
+                    # nstate- and csv-destination variables)
+                    values, buffers, diag_buffers = jax.lax.cond(
+                        valid,
+                        lambda n, _: n,
+                        lambda _, o: o,
+                        new_carry,
+                        (values, buffers, diag_buffers),
+                    )
+                    do_save = do_save & valid
+                    sbufs = {
+                        k: jax.lax.dynamic_update_index_in_dim(
+                            buf, fields[k].astype(buf.dtype), count, 0
+                        )
+                        for k, buf in sbufs.items()
+                    }
+                    return values, buffers, diag_buffers, sbufs, count + do_save.astype(jnp.int32)
+
+                values, buffers, diag_buffers, sbufs, count = jax.lax.fori_loop(
+                    0, chunk, inner, (values, buffers, diag_buffers, sbufs, jnp.int32(0))
                 )
-            return (values, buffers, diag_buffers), None
+                for k in csv_keys:
+                    io_callback(
+                        self._writers[k].append_block,
+                        jax.ShapeDtypeStruct((), jnp.int32),
+                        count,
+                        {k: sbufs[k]},
+                        ordered=True,
+                    )
+                return (values, buffers, diag_buffers, sbufs), None
 
-        (values, buffers, diag_buffers), _ = jax.lax.scan(
-            scan_body, (values0, buffers, diag_buffers), jnp.arange(self.mcrange.n_steps)
-        )
+            (values, buffers, diag_buffers, _), _ = jax.lax.scan(
+                outer_body, (values0, buffers, diag_buffers, sbufs), jnp.arange(n_outer)
+            )
         return GibbsChains(
             samples=buffers, final_values=values, diagnostics=diag_buffers
         )
@@ -337,6 +406,29 @@ class GibbsJob:
         missing = [v.key for v in self.model.vertices if v.key not in v0]
         if missing:
             raise ValueError(f"v0 missing values for {missing}")
+        self._open_writers()
+        out = self._run_jit(key, v0)
+        self._close_writers(out)
+        return out
+
+    def resume(self, key, chains: GibbsChains, v0: Dict[str, Any]) -> GibbsChains:
+        """Continue sweeping from ``chains.final_values`` for another
+        ``mcrange.n_steps`` sweeps (reference ``reset``/re-``run``,
+        BasicGibbsJob.jl:150-168).  ``v0`` supplies the non-dependent
+        values (hyperparameters/data), same as ``run``; dependent variables
+        restart from their per-chain final values."""
+        carry = self._carry_keys()
+        merged = {k: v for k, v in v0.items() if k not in carry}
+        merged.update({k: chains.final_values[k] for k in carry})
+        missing = [v.key for v in self.model.vertices if v.key not in merged]
+        if missing:
+            raise ValueError(f"resume missing values for {missing}")
+        self._open_writers()
+        out = self._run_jit(key, merged, prebatched=True)
+        self._close_writers(out)
+        return out
+
+    def _open_writers(self):
         for k, opts in self._opts.items():
             if opts["destination"] == "csv" and k not in self._writers:
                 from klara_tpu.io.stream import StreamingWriter
@@ -344,12 +436,16 @@ class GibbsJob:
                 self._writers[k] = StreamingWriter(
                     opts["filepath"], flush=opts.get("flush", False), sample_fields={k}
                 )
-        out = self._run_jit(key, v0)
+
+    def _close_writers(self, out):
+        # close (flush + sidecars) but KEEP the writer objects: the cached
+        # jit trace's io_callback closures captured them, so a later
+        # run()/resume() must stream through the same instances (their
+        # file handles lazily reopen in append mode)
         if self._writers:
             jax.block_until_ready(out.final_values)
             for w in self._writers.values():
                 w.close()
-        return out
 
     def to_dot(self) -> str:
         """Graphviz export of the job (reference `job2dot`,

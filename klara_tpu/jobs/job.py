@@ -110,6 +110,17 @@ class MCJob:
     destination: str = "nstate"
     filepath: Optional[str] = None
     flush: bool = False
+    # csv streaming flushes to the host every `stream_chunk` steps (saved
+    # draws accumulate in a device ring buffer in between): one ordered
+    # io_callback round-trip per chunk instead of per step — per-step
+    # round-trips dominate wall time on real TPUs (SURVEY §2.2 'chunked
+    # dumps')
+    stream_chunk: int = 128
+    # 'io_callback' = true in-loop streaming (bounded host memory);
+    # 'post' = buffer draws on device and export the CSV directory after
+    # the run — for backends without host-callback support (e.g. a
+    # tunneled/remote TPU client); O(n_post) device memory like 'nstate'
+    stream_mode: str = "io_callback"
     # host-side burnin progress reports every `progress_period` steps —
     # the reference tuner `verbose` flag (src/samplers/iterate/MH.jl:126-140)
     verbose: bool = False
@@ -136,6 +147,8 @@ class MCJob:
             raise ValueError(f"unknown destination {self.destination!r}")
         if self.destination == "csv" and not self.filepath:
             raise ValueError("destination='csv' requires filepath")
+        if self.stream_mode not in ("io_callback", "post"):
+            raise ValueError(f"unknown stream_mode {self.stream_mode!r}")
         self._writer = None
         # cache the compiled program: a fresh jax.jit(self._run) per call
         # would re-trace (and possibly re-compile) every run
@@ -205,7 +218,7 @@ class MCJob:
         return jax.vmap(lambda k, x: init_one(k, position=x))(init_keys, x0)
 
     # ------------------------------------------------------------------ step
-    def _scan_fn(self, chain_keys):
+    def _scan_fn(self, chain_keys, stream: bool = False):
         sampler, target, tuner = self.sampler, self.target, self.tuner
         burnin, thinning = self.mcrange.burnin, self.mcrange.thinning
         pooled = self.pooled_tuning
@@ -292,7 +305,10 @@ class MCJob:
                     )
 
                 jax.lax.cond(
-                    (i + 1) % self.progress_period == 0,
+                    # the i < n_steps conjunct silences padding steps in
+                    # the chunked-streaming path (no-op in the plain scan)
+                    ((i + 1) % self.progress_period == 0)
+                    & (i < self.mcrange.n_steps),
                     lambda: jax.debug.callback(
                         report,
                         i,
@@ -302,31 +318,24 @@ class MCJob:
                     lambda: None,
                 )
 
-            if self._writer is not None:
-                from jax.experimental import io_callback
+            if not stream:
+                return (states, buffers), None
 
-                fields = {
-                    name: jax.vmap(
-                        lambda s, nf: _field_value(name, s, nf, target)
-                    )(states, infos)
-                    for name in self.monitor
+            fields = {
+                name: jax.vmap(
+                    lambda s, nf: _field_value(name, s, nf, target)
+                )(states, infos)
+                for name in self.monitor
+            }
+            fields.update(
+                {
+                    name: jax.vmap(lambda s, nf: _diag_value(name, s, nf))(
+                        states, infos
+                    )
+                    for name in self.diagnostics
                 }
-                fields.update(
-                    {
-                        name: jax.vmap(lambda s, nf: _diag_value(name, s, nf))(
-                            states, infos
-                        )
-                        for name in self.diagnostics
-                    }
-                )
-                io_callback(
-                    self._writer.append,
-                    jax.ShapeDtypeStruct((), jnp.int32),
-                    do_save,
-                    fields,
-                    ordered=True,
-                )
-            return (states, buffers), None
+            )
+            return (states, buffers), (do_save, fields)
 
         return scan_body
 
@@ -372,17 +381,84 @@ class MCJob:
         example_info = jax.tree.map(
             lambda sd: jnp.zeros(sd.shape, sd.dtype), infos_shape
         )
-        if self.destination == "nstate":
+        if self.destination == "nstate" or self._buffered_csv:
             buffers = self._alloc_buffers(states, example_info)
         else:
             buffers = ({}, {})
 
-        scan_body = self._scan_fn(chain_keys)
-        (states, buffers), _ = jax.lax.scan(
-            scan_body, (states, buffers), jnp.arange(self.mcrange.n_steps)
-        )
+        states, buffers = self._drive(chain_keys, states, buffers)
         samples, diags = buffers
         return Chain(samples=samples, diagnostics=diags, final_state=states)
+
+    def _drive(self, chain_keys, states, buffers):
+        """Run the compiled step loop over mcrange.n_steps.
+
+        Without a csv writer: one `lax.scan` over steps.  With one: an
+        outer scan over chunks of `stream_chunk` steps, an inner fori_loop
+        accumulating saved draws into a device ring buffer, and ONE
+        ordered io_callback per chunk (`StreamingWriter.append_block`)."""
+        n_steps = self.mcrange.n_steps
+        if self._writer is None:
+            scan_body = self._scan_fn(chain_keys)
+            (states, buffers), _ = jax.lax.scan(
+                scan_body, (states, buffers), jnp.arange(n_steps)
+            )
+            return states, buffers
+
+        from jax.experimental import io_callback
+
+        scan_body = self._scan_fn(chain_keys, stream=True)
+        chunk = max(1, min(self.stream_chunk, n_steps))
+        n_outer = -(-n_steps // chunk)  # ceil; trailing steps are padding
+        fields_sd = jax.eval_shape(scan_body, (states, buffers), jnp.int32(0))[1][1]
+        sbufs = {
+            name: jnp.zeros((chunk,) + sd.shape, sd.dtype)
+            for name, sd in fields_sd.items()
+        }
+        writer = self._writer
+
+        def outer_body(carry, o):
+            states, buffers, sbufs = carry
+
+            def inner(j, c):
+                states, buffers, sbufs, count = c
+                i = o * chunk + j
+                valid = i < n_steps
+                (new_states, new_buffers), (do_save, fields) = scan_body(
+                    (states, buffers), i
+                )
+                # padding steps past n_steps leave the carry untouched so
+                # final_state is bit-identical to the unchunked path
+                states = jax.lax.cond(
+                    valid, lambda n, _: n, lambda _, s: s, new_states, states
+                )
+                buffers = new_buffers
+                do_save = do_save & valid
+                sbufs = {
+                    name: jax.lax.dynamic_update_index_in_dim(
+                        buf, fields[name].astype(buf.dtype), count, 0
+                    )
+                    for name, buf in sbufs.items()
+                }
+                count = count + do_save.astype(jnp.int32)
+                return states, buffers, sbufs, count
+
+            states, buffers, sbufs, count = jax.lax.fori_loop(
+                0, chunk, inner, (states, buffers, sbufs, jnp.int32(0))
+            )
+            io_callback(
+                writer.append_block,
+                jax.ShapeDtypeStruct((), jnp.int32),
+                count,
+                sbufs,
+                ordered=True,
+            )
+            return (states, buffers, sbufs), None
+
+        (states, buffers, _), _ = jax.lax.scan(
+            outer_body, (states, buffers, sbufs), jnp.arange(n_outer)
+        )
+        return states, buffers
 
     def run(self, key, x0=None) -> Chain:
         """Run the job end-to-end, compiled as one XLA program.
@@ -394,12 +470,7 @@ class MCJob:
         pdf/prior (src/jobs/BasicMCJob.jl:59-67).
         """
         key, x0 = self._prepare_x0(key, x0)
-        if self.destination == "csv" and self._writer is None:
-            from klara_tpu.io.stream import StreamingWriter
-
-            self._writer = StreamingWriter(
-                self.filepath, flush=self.flush, sample_fields=set(self.monitor)
-            )
+        self._open_writer()
         self._checkin(x0)
         run_jit = self._run_jit
         if self.mesh is not None:
@@ -411,10 +482,48 @@ class MCJob:
             )
             x0 = jax.device_put(x0, sharding)
         chain = run_jit(key, x0)
+        chain = self._finish_output(chain)
+        return self._squeeze(chain)
+
+    @property
+    def _buffered_csv(self) -> bool:
+        return self.destination == "csv" and self.stream_mode == "post"
+
+    def _open_writer(self):
+        if (
+            self.destination == "csv"
+            and self.stream_mode == "io_callback"
+            and self._writer is None
+        ):
+            from klara_tpu.io.stream import StreamingWriter
+
+            self._writer = StreamingWriter(
+                self.filepath, flush=self.flush, sample_fields=set(self.monitor)
+            )
+
+    def _finish_output(self, chain: Chain) -> Chain:
         if self._writer is not None:
             jax.block_until_ready(chain.final_state)
             self._writer.close()
-        return self._squeeze(chain)
+        elif self._buffered_csv:
+            # post-run export: same directory layout/manifest as the
+            # streaming path, no in-loop host callbacks (the in-memory
+            # trace is also returned); appends, so resume() segments
+            # accumulate like a true stream
+            import numpy as np
+
+            from klara_tpu.io.stream import StreamingWriter
+
+            jax.block_until_ready(chain.final_state)
+            fields = {
+                k: np.asarray(v)
+                for k, v in {**chain.samples, **chain.diagnostics}.items()
+            }
+            with StreamingWriter(
+                self.filepath, sample_fields=set(self.monitor)
+            ) as w:
+                w.append_block(self.mcrange.n_post, fields)
+        return chain
 
     # ------------------------------------------------------- univariate lift
     def _prepare_x0(self, key, x0):
@@ -526,12 +635,7 @@ class MCJob:
         src/jobs/BasicMCJob.jl:187-201).  Re-applies mesh sharding to the
         restored state (it may come from a host-side checkpoint) and
         re-opens the csv writer if streaming."""
-        if self.destination == "csv" and self._writer is None:
-            from klara_tpu.io.stream import StreamingWriter
-
-            self._writer = StreamingWriter(
-                self.filepath, flush=self.flush, sample_fields=set(self.monitor)
-            )
+        self._open_writer()
         if self.mesh is not None:
             def reshard(x):
                 x = jnp.asarray(x)
@@ -545,9 +649,7 @@ class MCJob:
                 chain, final_state=jax.tree.map(reshard, chain.final_state)
             )
         out = self._resume_run(key, chain)
-        if self._writer is not None:
-            jax.block_until_ready(out.final_state)
-            self._writer.close()
+        out = self._finish_output(out)
         return self._squeeze(out)
 
     def _resume_run(self, key, chain: Chain) -> Chain:
@@ -561,14 +663,11 @@ class MCJob:
             example_info = jax.tree.map(
                 lambda sd: jnp.zeros(sd.shape, sd.dtype), infos_shape
             )
-            if self.destination == "nstate":
+            if self.destination == "nstate" or self._buffered_csv:
                 buffers = self._alloc_buffers(states, example_info)
             else:
                 buffers = ({}, {})
-            scan_body = self._scan_fn(chain_keys)
-            (states2, buffers), _ = jax.lax.scan(
-                scan_body, (states, buffers), jnp.arange(self.mcrange.n_steps)
-            )
+            states2, buffers = self._drive(chain_keys, states, buffers)
             samples, diags = buffers
             return Chain(samples=samples, diagnostics=diags, final_state=states2)
 

@@ -254,3 +254,79 @@ def test_gibbs_outopts_validation():
         kt.GibbsJob(model, {}, kt.MCRange(n_steps=10), outopts={"p": {"destination": "csv"}})
     with pytest.raises(ValueError, match="unknown destination"):
         kt.GibbsJob(model, {}, kt.MCRange(n_steps=10), outopts={"p": {"destination": "bogus"}})
+
+
+def test_gibbs_nested_sampler_bound_to_tuner():
+    """Nested-block samplers are specialised to their tuners at job init —
+    HMC under dual averaging gets dynamic nleaps (fixed trajectory length),
+    same as MCJob (reference src/samplers/iterate/HMC.jl:142-144)."""
+    job = kt.GibbsJob(
+        _mwg_model(),
+        {
+            "p1": kt.Nested(
+                kt.HMC(leapstep=0.2, nleaps=4),
+                n_steps=10,
+                tuner=kt.DualAveragingTuner(targetrate=0.8),
+            )
+        },
+        kt.MCRange(n_steps=10),
+    )
+    assert job.sweep["p1"].sampler.dynamic_nleaps
+
+
+def test_gibbs_resume_continues_from_final_values():
+    """resume() restarts the sweep from per-chain final values (reference
+    reset/re-run, BasicGibbsJob.jl:150-168) — two 1000-sweep halves sample
+    the same posterior as one continuous run."""
+    rho = 0.8
+    p1 = kt.GibbsParameter(
+        "p1", setpdf=lambda v: Normal(v["rho"] * v["p2"], jnp.sqrt(1 - v["rho"] ** 2))
+    )
+    p2 = kt.GibbsParameter(
+        "p2", setpdf=lambda v: Normal(v["rho"] * v["p1"], jnp.sqrt(1 - v["rho"] ** 2))
+    )
+    model = kt.GenericModel([kt.Hyperparameter("rho"), p1, p2])
+    v0 = {"rho": jnp.float32(rho), "p1": 0.0, "p2": 0.0}
+    job = kt.GibbsJob(model, {}, kt.MCRange(n_steps=1500, burnin=500), n_chains=16)
+    first = job.run(jax.random.key(7), v0)
+    second = job.resume(jax.random.key(8), first, v0)
+    assert second.samples["p1"].shape == first.samples["p1"].shape
+    # final values differ from the first segment's (sweeping continued)
+    assert not np.allclose(
+        np.asarray(second.final_values["p1"]), np.asarray(first.final_values["p1"])
+    )
+    x1 = np.asarray(second.flat("p1")).reshape(-1)
+    x2 = np.asarray(second.flat("p2")).reshape(-1)
+    np.testing.assert_allclose(np.corrcoef(x1, x2)[0, 1], 0.8, atol=0.08)
+    np.testing.assert_allclose(np.std(x1), 1.0, atol=0.12)
+
+
+def test_gibbs_csv_streaming_across_resume(tmp_path):
+    """The cached jit trace captures the csv writers, so a second
+    run/resume must stream through the SAME writer instances and append
+    (regression: recreating writers after close left the second segment
+    in never-flushed stale handles)."""
+    from klara_tpu.io import read_chain_csv
+
+    rho = 0.8
+    p1 = kt.GibbsParameter(
+        "p1", setpdf=lambda v: Normal(v["rho"] * v["p2"], jnp.sqrt(1 - v["rho"] ** 2))
+    )
+    p2 = kt.GibbsParameter(
+        "p2", setpdf=lambda v: Normal(v["rho"] * v["p1"], jnp.sqrt(1 - v["rho"] ** 2))
+    )
+    model = kt.GenericModel([kt.Hyperparameter("rho"), p1, p2])
+    out = str(tmp_path / "stream")
+    v0 = {"rho": jnp.float32(rho), "p1": 0.0, "p2": 0.0}
+    job = kt.GibbsJob(
+        model,
+        {},
+        kt.MCRange(n_steps=300, burnin=100),
+        n_chains=4,
+        outopts={"p1": {"destination": "csv", "filepath": out}},
+        stream_chunk=64,
+    )
+    first = job.run(jax.random.key(11), v0)
+    assert read_chain_csv(out)["p1"].shape[0] == 200
+    job.resume(jax.random.key(12), first, v0)
+    assert read_chain_csv(out)["p1"].shape[0] == 400  # appended, flushed
