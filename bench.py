@@ -94,6 +94,8 @@ def run_case(
         mass_period=50,
     )
     x0 = 0.1 * jax.random.normal(jax.random.key(42), (n_chains, dim), jnp.float32)
+    print(f"# {sampler_name} x{n_chains}: compiling+warm...", file=sys.stderr,
+          flush=True)
     # compile (cached) + warm run
     chain = job.run(jax.random.key(0), x0)
     jax.block_until_ready(chain.value)
@@ -102,6 +104,8 @@ def run_case(
     chain = job.run(jax.random.key(1), x0)
     jax.block_until_ready(chain.value)
     elapsed = time.perf_counter() - t0
+    print(f"# {sampler_name} x{n_chains}: sampled in {elapsed:.2f}s",
+          file=sys.stderr, flush=True)
 
     min_ess = _ess_min_chunked(chain.value)
     accept = float(np.asarray(kt.stats.acceptance(chain)))
@@ -138,14 +142,30 @@ def scaling_table(timeout=900):
         return {"error": str(e)}
 
 
+def _try_case(*args, retries=1, **kwargs):
+    """Run one benchmark case, tolerating transient TPU infra failures
+    (the tunneled backend sporadically returns UNAVAILABLE): retry once,
+    then report the error instead of killing the whole bench."""
+    for attempt in range(retries + 1):
+        try:
+            return run_case(*args, **kwargs)
+        except Exception as e:  # noqa: BLE001 — headline must still print
+            err = f"{type(e).__name__}: {str(e)[:300]}"
+            print(f"# case {args} failed (attempt {attempt+1}): {err}",
+                  file=sys.stderr, flush=True)
+    return {"sampler": args[0], "ess_per_sec": 0.0, "error": err}
+
+
 def main():
     # headline at BASELINE.json scale config: 16k chains
-    hmc = run_case("hmc", n_chains=16384, n_steps=700, burnin=300)
-    nuts = run_case("nuts", n_chains=16384, n_steps=500, burnin=200)
+    hmc = _try_case("hmc", n_chains=16384, n_steps=700, burnin=300)
+    nuts = _try_case("nuts", n_chains=16384, n_steps=500, burnin=200)
     best = max(hmc, nuts, key=lambda r: r["ess_per_sec"])
 
     # baseline: the reference's execution model (one chain at a time)
-    base = run_case("hmc", n_chains=1, n_steps=700, burnin=300)
+    base = _try_case("hmc", n_chains=1, n_steps=700, burnin=300)
+    if "error" in base:
+        base = {"ess_per_sec": float("nan")}
 
     scaling = scaling_table()
 

@@ -70,56 +70,78 @@ def _run(target, sampler, tuner, n_chains, mcrange, **kw):
     return job.run(jax.random.key(7), X0)
 
 
-def _mk(sampler_fn, tuner_fn, rate_band, analytical, n_steps=6000, burnin=2000, **kw):
+def _mk(sampler_fn, tuner_fn, rate_band, grad_kind, n_steps=6000, burnin=2000, **kw):
+    """grad_kind: 'analytical' (hand-written gradient), 'reverse'
+    (jax.grad — the reference's reversediff rows) or 'forward'
+    (Target(ad_mode='forward'), jax.jacfwd — the forwarddiff rows)."""
+
     def example(n_chains=64):
-        target, _, _ = swiss_logistic_regression(analytical_grad=analytical)
+        import dataclasses
+
+        target, _, _ = swiss_logistic_regression(
+            analytical_grad=grad_kind == "analytical"
+        )
+        if grad_kind == "forward":
+            target = dataclasses.replace(target, ad_mode="forward")
         mcrange = kt.MCRange(n_steps=n_steps, burnin=burnin)
         chain = _run(target, sampler_fn(), tuner_fn(burnin) if tuner_fn else None,
                      n_chains, mcrange, **kw)
-        grad_kind = "analytical" if analytical else "jax.grad"
         name = f"swiss {type(sampler_fn()).__name__} ({grad_kind})"
         _check(chain, name, rate_band)
 
     return example
 
 
-# the matrix: {MALA, SMMALA, RAM, HMC, NUTS, slice} x {analytical, AD}.
+# the matrix: {MALA, SMMALA, RAM, HMC, NUTS, slice} x {analytical,
+# reverse-AD}, plus the reference's forward-mode rows for MALA and SMMALA
+# (doc/examples/swiss/MALA/forwarddiff.jl, swiss/SMMALA/forwarddiff.jl).
 # Tuners/settings follow the reference scripts (e.g. swiss/MALA/
 # analytical.jl uses AcceptanceRateMCTuner; swiss/SMMALA uses rate 0.5).
 SWISS_EXAMPLES = {}
-for analytical in (True, False):
-    kind = "analytical" if analytical else "ad"
+for kind in ("analytical", "reverse"):
     SWISS_EXAMPLES[f"swiss_mala_{kind}"] = _mk(
         lambda: kt.MALA(0.02),
         lambda b: kt.AcceptanceRateTuner(0.574),
         (0.40, 0.75),
-        analytical,
+        kind,
     )
     SWISS_EXAMPLES[f"swiss_smmala_{kind}"] = _mk(
         lambda: kt.SMMALA(0.02),
         lambda b: kt.AcceptanceRateTuner(0.5),
         (0.3, 0.85),
-        analytical,
+        kind,
     )
     SWISS_EXAMPLES[f"swiss_ram_{kind}"] = _mk(
-        lambda: kt.RAM(S0=0.1), lambda b: None, (0.1, 0.5), analytical
+        lambda: kt.RAM(S0=0.1), lambda b: None, (0.1, 0.5), kind
     )
     SWISS_EXAMPLES[f"swiss_hmc_{kind}"] = _mk(
         lambda: kt.HMC(0.1, 10),
         lambda b: kt.DualAveragingTuner(0.8, b),
         (0.6, 1.0),
-        analytical,
+        kind,
     )
     SWISS_EXAMPLES[f"swiss_nuts_{kind}"] = _mk(
         lambda: kt.NUTS(),
         lambda b: kt.DualAveragingTuner(0.8, b),
         (0.6, 1.0),
-        analytical,
+        kind,
     )
     SWISS_EXAMPLES[f"swiss_slice_{kind}"] = _mk(
-        lambda: kt.SliceSampler(widths=1.0), lambda b: None, None, analytical,
+        lambda: kt.SliceSampler(widths=1.0), lambda b: None, None, kind,
         n_steps=4000, burnin=1000,
     )
+SWISS_EXAMPLES["swiss_mala_forward"] = _mk(
+    lambda: kt.MALA(0.02),
+    lambda b: kt.AcceptanceRateTuner(0.574),
+    (0.40, 0.75),
+    "forward",
+)
+SWISS_EXAMPLES["swiss_smmala_forward"] = _mk(
+    lambda: kt.SMMALA(0.02),
+    lambda b: kt.AcceptanceRateTuner(0.5),
+    (0.3, 0.85),
+    "forward",
+)
 
 
 def main(n_chains=64):

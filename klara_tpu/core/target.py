@@ -87,7 +87,20 @@ class Target:
     value_and_grad_fn: Optional[Callable] = None
     tensor_fn: Optional[Callable] = None
     dtensor_fn: Optional[Callable] = None
+    # AD mode for the gradient default — the reference's
+    # DiffOptions(mode=:reverse/:forward) (src/autodiff/autodiff.jl:55-76,
+    # forward.jl / reverse.jl wrappers).  'reverse' = jax.grad (the right
+    # choice for scalar log-densities); 'forward' = jax.jacfwd, matching
+    # the reference's ForwardDiff path (and its univariate parameters,
+    # which are forward-mode only, BasicContUnvParameter.jl:454-455).
+    ad_mode: str = "reverse"
     name: str = "target"
+
+    def __post_init__(self):
+        if self.ad_mode not in ("reverse", "forward"):
+            raise ValueError(
+                f"ad_mode must be 'reverse' or 'forward', got {self.ad_mode!r}"
+            )
 
     # ---------------------------------------------------------------- ctors
     @classmethod
@@ -162,6 +175,8 @@ class Target:
         """∇ log π(x) — reference `gradlogtarget!`."""
         if self.grad_fn is not None:
             return self.grad_fn(x, *args)
+        if self.ad_mode == "forward":
+            return jax.jacfwd(self.logdensity_fn)(x, *args)
         return jax.grad(self.logdensity_fn)(x, *args)
 
     def logdensity_and_grad(self, x, *args):
@@ -171,6 +186,11 @@ class Target:
             return self.value_and_grad_fn(x, *args)
         if self.grad_fn is not None:
             return self.logdensity_fn(x, *args), self.grad_fn(x, *args)
+        if self.ad_mode == "forward":
+            return (
+                self.logdensity_fn(x, *args),
+                jax.jacfwd(self.logdensity_fn)(x, *args),
+            )
         return jax.value_and_grad(self.logdensity_fn)(x, *args)
 
     def tensor(self, x, *args) -> Array:

@@ -320,3 +320,22 @@ def test_hmc_trajectory_jitter():
     flat = np.asarray(chain.flat("value"))
     assert np.abs(flat.mean(axis=0)).max() < 0.1
     np.testing.assert_allclose(flat.std(axis=0), 1.0, atol=0.12)
+
+
+def test_target_forward_ad_mode():
+    """Target(ad_mode='forward') routes gradients through jax.jacfwd —
+    the reference's DiffOptions(mode=:forward) / ForwardDiff path
+    (src/autodiff/autodiff.jl:55-76, forward.jl)."""
+    import dataclasses
+
+    f = lambda x: -0.5 * jnp.sum(x**2) - jnp.sum(x**4)
+    rev = kt.Target(logdensity_fn=f, dim=3)
+    fwd = dataclasses.replace(rev, ad_mode="forward")
+    x = jnp.array([0.3, -1.2, 2.0])
+    np.testing.assert_allclose(fwd.grad(x), rev.grad(x), rtol=1e-6)
+    v_f, g_f = fwd.logdensity_and_grad(x)
+    v_r, g_r = rev.logdensity_and_grad(x)
+    np.testing.assert_allclose(v_f, v_r, rtol=1e-6)
+    np.testing.assert_allclose(g_f, g_r, rtol=1e-6)
+    with pytest.raises(ValueError, match="ad_mode"):
+        kt.Target(logdensity_fn=f, ad_mode="bogus")
