@@ -1,19 +1,21 @@
 """Headline benchmark: effective samples/sec/chip with a TUNED warmup.
 
-Workload (BASELINE.json north star + scale config): HMC and NUTS on
-100-dim Bayesian logistic regression, 16384 vectorized chains on one
-chip, with the full warmup stack on:
+Workload (BASELINE.json north star + scale config): HMC (fixed and
+ChEES-adapted trajectory) and NUTS on 100-dim Bayesian logistic
+regression, 16384 vectorized chains on one chip, with the full warmup
+stack on:
 
   * pooled dual averaging (cross-chain acceptance statistic -> one shared
     step size; under a mesh this is the psum collective path),
   * fixed trajectory length: nleaps = round(lambda/eps) per iteration
-    (reference src/samplers/iterate/HMC.jl:142-144),
+    (reference src/samplers/iterate/HMC.jl:142-144) — or cross-chain
+    ChEES adaptation of lambda itself (jobs.MCJob traj_adaptation),
   * ensemble mass-matrix adaptation (cross-chain variance -> diagonal
     inverse mass; TPU-native, replaces Stan-style Welford windows).
 
 Metric: min-across-coordinates effective sample size (Geyer IMSE, summed
 over chains, computed in chain-chunks to bound FFT memory) divided by
-sampling wall time.  The headline is the better of HMC/NUTS.
+sampling wall time.  The headline is the best of HMC/ChEES-HMC/NUTS.
 
 vs_baseline: the reference (Klara.jl) publishes no numbers and runs ONE
 chain at a time, single-threaded (src/jobs/jobs.jl:212).  The recorded
@@ -72,9 +74,17 @@ def run_case(
     from klara_tpu.models.examples import synthetic_logistic_regression
 
     target, _, _ = synthetic_logistic_regression(dim=dim, n_data=n_data)
+    extra = {}
     if sampler_name == "hmc":
         sampler = kt.HMC(leapstep=0.05, nleaps=8, trajectory_length=LAMBDA,
                          max_nleaps=128)
+    elif sampler_name == "hmc-chees":
+        # cross-chain ChEES trajectory adaptation: learns lambda from the
+        # ensemble during burnin (jittered trajectories); ~7x the per-draw
+        # ESS of the hand-tuned fixed trajectory in CPU studies
+        sampler = kt.HMC(leapstep=0.05, nleaps=8, trajectory_length=0.5,
+                         jitter=0.9, max_nleaps=256)
+        extra = dict(traj_adaptation=True)
     elif sampler_name == "nuts":
         sampler = kt.NUTS(max_doublings=6)
     else:
@@ -92,6 +102,7 @@ def run_case(
         # baseline (the reference's execution model) runs without it
         mass_adaptation=n_chains >= 32,
         mass_period=50,
+        **extra,
     )
     x0 = 0.1 * jax.random.normal(jax.random.key(42), (n_chains, dim), jnp.float32)
     print(f"# {sampler_name} x{n_chains}: compiling+warm...", file=sys.stderr,
@@ -159,8 +170,9 @@ def _try_case(*args, retries=1, **kwargs):
 def main():
     # headline at BASELINE.json scale config: 16k chains
     hmc = _try_case("hmc", n_chains=16384, n_steps=700, burnin=300)
+    chees = _try_case("hmc-chees", n_chains=16384, n_steps=700, burnin=300)
     nuts = _try_case("nuts", n_chains=16384, n_steps=500, burnin=200)
-    best = max(hmc, nuts, key=lambda r: r["ess_per_sec"])
+    best = max(hmc, chees, nuts, key=lambda r: r["ess_per_sec"])
 
     # baseline: the reference's execution model (one chain at a time)
     base = _try_case("hmc", n_chains=1, n_steps=700, burnin=300)
@@ -183,6 +195,7 @@ def main():
                 ),
                 "detail": {
                     "hmc": hmc,
+                    "hmc_chees": chees,
                     "nuts": nuts,
                     "single_chain_baseline": base,
                     "scaling": scaling,

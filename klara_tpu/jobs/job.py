@@ -135,6 +135,17 @@ class MCJob:
     # ``inv_mass`` (HMC, NUTS) participate.
     mass_adaptation: bool = False
     mass_period: int = 100
+    # ChEES-style cross-chain trajectory-length adaptation (TPU-native,
+    # no reference counterpart; Hoffman, Radul & Sountsov 2021): during
+    # burnin, ascend the Change-in-the-Estimator-of-the-Expected-Square
+    # jumped distance criterion on log λ with Adam, estimated from the
+    # ensemble's phase-space endpoints (a cross-chip mean under a mesh).
+    # The modern alternative to NUTS for many-chain regimes: fixed-shape
+    # leapfrog loops (no per-chain tree control flow), near-NUTS ESS.
+    # Use with HMC(jitter=...) so trajectory jitter breaks resonances;
+    # requires a sampler whose state carries ``log_traj`` (HMC).
+    traj_adaptation: bool = False
+    traj_lr: float = 0.1
 
     def __post_init__(self):
         if self.tuner is None:
@@ -143,6 +154,16 @@ class MCJob:
         # HMC switches to fixed-trajectory dynamic nleaps under dual
         # averaging (reference src/samplers/iterate/HMC.jl:142-144)
         self.sampler = self.sampler.bind_tuner(self.tuner)
+        if self.traj_adaptation:
+            if not hasattr(self.sampler, "dynamic_nleaps"):
+                raise ValueError(
+                    "traj_adaptation requires an HMC-family sampler whose "
+                    "trajectory length is dynamic (state carries log_traj)"
+                )
+            if not self.sampler.dynamic_nleaps:
+                self.sampler = dataclasses.replace(
+                    self.sampler, dynamic_nleaps=True
+                )
         if self.destination not in ("nstate", "csv", "none"):
             raise ValueError(f"unknown destination {self.destination!r}")
         if self.destination == "csv" and not self.filepath:
@@ -230,6 +251,7 @@ class MCJob:
 
         def scan_body(carry, i):
             states, buffers = carry
+            prev_pos = states.position  # pre-step positions (ChEES hook)
             states, infos = jax.vmap(lambda k, s: one_step(k, i, s))(chain_keys, states)
 
             if not sampler.self_tuning:
@@ -263,6 +285,47 @@ class MCJob:
                 )
                 states = states._replace(
                     inv_mass=jnp.where(adapt_now, new_inv_mass, states.inv_mass)
+                )
+
+            if self.traj_adaptation and hasattr(states, "log_traj"):
+                # ChEES gradient estimate from the ensemble: per chain,
+                # a-weighted (||x'−x̄'||² − ||x−x̄||²)·⟨x'−x̄', p'⟩·h, with
+                # h the realized trajectory-jitter fraction.  The chain
+                # means become psum collectives under a mesh.
+                x_prop = infos.extras["x_prop"]
+                p_end = infos.extras["p_end"]
+                frac = infos.extras["traj_frac"].astype(jnp.float32)
+                a = infos.accept_stat.astype(jnp.float32)
+                xbar = jnp.mean(prev_pos, axis=0)
+                xpbar = jnp.mean(x_prop, axis=0)
+                dold = jnp.sum(jnp.square(prev_pos - xbar), axis=-1)
+                dnew = jnp.sum(jnp.square(x_prop - xpbar), axis=-1)
+                proj = jnp.sum((x_prop - xpbar) * p_end, axis=-1)
+                w = a / jnp.maximum(jnp.mean(a), 1e-3)
+                g = jnp.mean(w * (dnew - dold) * proj * frac)
+                g = jnp.where(jnp.isfinite(g), g, 0.0)
+                # pooled Adam ascent on log λ (all chains share the value)
+                b1, b2 = 0.9, 0.999
+                t = (i + 1).astype(jnp.float32)
+                m = b1 * jnp.mean(states.traj_m) + (1.0 - b1) * g
+                v = b2 * jnp.mean(states.traj_v) + (1.0 - b2) * g * g
+                mhat = m / (1.0 - jnp.power(b1, t))
+                vhat = v / (1.0 - jnp.power(b2, t))
+                lt_new = jnp.mean(states.log_traj) + self.traj_lr * mhat / (
+                    jnp.sqrt(vhat) + 1e-8
+                )
+                lt_new = jnp.clip(lt_new, jnp.log(1e-2), jnp.log(1e3))
+                adapting = i < burnin
+
+                def bc(x, like):
+                    return jnp.broadcast_to(x.astype(like.dtype), like.shape)
+
+                states = states._replace(
+                    log_traj=jnp.where(
+                        adapting, bc(lt_new, states.log_traj), states.log_traj
+                    ),
+                    traj_m=jnp.where(adapting, bc(m, states.traj_m), states.traj_m),
+                    traj_v=jnp.where(adapting, bc(v, states.traj_v), states.traj_v),
                 )
 
             save_idx = (i - burnin) // thinning

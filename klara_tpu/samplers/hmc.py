@@ -40,6 +40,15 @@ class HMCState(NamedTuple):
     gradlogtarget: jax.Array
     inv_mass: jax.Array     # diagonal inverse mass (1 = identity, reference)
     tune: TuneState
+    # log trajectory length λ + its Adam moments, adapted cross-chain by
+    # the job's ChEES hook (klara_tpu.jobs.job traj_adaptation); static
+    # λ = exp(log_traj) stays at its init when the hook is off.
+    # NOTE: no jnp defaults here — array creation at class-definition time
+    # would initialise the XLA backend on import and break
+    # jax.distributed.initialize (multi-host launch).
+    log_traj: jax.Array
+    traj_m: jax.Array
+    traj_v: jax.Array
 
 
 @dataclasses.dataclass(frozen=True)
@@ -91,20 +100,37 @@ class HMC(Sampler):
         if isinstance(tuner, DualAveragingTuner):
             tune = tuner.set_mu_from_step(tune)
         inv_mass = jnp.ones_like(position)
-        return HMCState(position, lt, grad, inv_mass, tune)
+        lam0 = self.trajectory_length
+        if lam0 is None:
+            lam0 = self.nleaps * self.leapstep
+        f = position.dtype if position.dtype.kind == "f" else jnp.float32
+        zero = jnp.zeros((), f)
+        return HMCState(
+            position, lt, grad, inv_mass, tune,
+            log_traj=jnp.log(jnp.asarray(lam0, f)),
+            traj_m=zero,
+            traj_v=zero,
+        )
 
-    def _nleaps(self, eps, k_jit=None):
+    def _nleaps(self, eps, k_jit=None, log_traj=None):
         if not self.dynamic_nleaps:
-            return self.nleaps
-        lam = self.trajectory_length
-        if lam is None:
-            lam = self.nleaps * self.leapstep
+            return self.nleaps, jnp.ones((), jnp.asarray(eps).dtype)
+        if log_traj is None:
+            lam = self.trajectory_length
+            if lam is None:
+                lam = self.nleaps * self.leapstep
+            lam = jnp.asarray(lam, jnp.asarray(eps).dtype)
+        else:
+            lam = jnp.exp(log_traj)
+        frac = jnp.ones((), lam.dtype)
         if self.jitter > 0.0 and k_jit is not None:
-            lam = lam * jax.random.uniform(
-                k_jit, minval=1.0 - self.jitter, maxval=1.0 + self.jitter
+            frac = jax.random.uniform(
+                k_jit, minval=1.0 - self.jitter, maxval=1.0 + self.jitter,
+                dtype=lam.dtype,
             )
+            lam = lam * frac
         n = jnp.round(lam / eps).astype(jnp.int32)
-        return jnp.clip(n, 1, self.max_nleaps)
+        return jnp.clip(n, 1, self.max_nleaps), frac
 
     def step(self, key, state: HMCState, target: Target):
         key, k_jit = jax.random.split(key)
@@ -116,7 +142,7 @@ class HMC(Sampler):
         p0 = sample_momentum(k_mom, x, inv_mass)
         h0 = hamiltonian(lt, p0, inv_mass)
 
-        nleaps = self._nleaps(eps, k_jit)
+        nleaps, frac = self._nleaps(eps, k_jit, state.log_traj)
         pp = leapfrog(
             target,
             PhasePoint(x, p0, lt, grad),
@@ -135,12 +161,22 @@ class HMC(Sampler):
             gradlogtarget=jnp.where(accept, pp.gradlogtarget, grad),
             inv_mass=inv_mass,
             tune=state.tune,
+            log_traj=state.log_traj,
+            traj_m=state.traj_m,
+            traj_v=state.traj_v,
         )
         a = jnp.minimum(1.0, jnp.exp(jnp.minimum(ratio, 0.0)))
         info = Info(
             accept=accept,
             accept_stat=a,
             logtarget=new_state.logtarget,
-            extras={"nleaps": jnp.asarray(nleaps, jnp.int32)},
+            extras={
+                "nleaps": jnp.asarray(nleaps, jnp.int32),
+                # phase-space endpoints for the job's cross-chain ChEES
+                # trajectory hook (unused otherwise -> DCE'd by XLA)
+                "x_prop": pp.position,
+                "p_end": pp.momentum,
+                "traj_frac": frac,
+            },
         )
         return new_state, info

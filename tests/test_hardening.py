@@ -339,3 +339,39 @@ def test_target_forward_ad_mode():
     np.testing.assert_allclose(g_f, g_r, rtol=1e-6)
     with pytest.raises(ValueError, match="ad_mode"):
         kt.Target(logdensity_fn=f, ad_mode="bogus")
+
+
+def test_chees_trajectory_adaptation_moves_and_samples():
+    """traj_adaptation=True (cross-chain ChEES, Hoffman et al. 2021):
+    during burnin the pooled log trajectory length moves away from a bad
+    init, and the posterior stays correct.  On an anisotropic Gaussian
+    (sd 1 and 5) the optimal trajectory is several units long; init 0.2."""
+    sd = jnp.array([1.0, 5.0])
+    target = kt.Target(
+        logdensity_fn=lambda x: -0.5 * jnp.sum(jnp.square(x / sd)), dim=2
+    )
+    job = kt.MCJob(
+        target,
+        kt.HMC(leapstep=0.25, trajectory_length=0.2, jitter=0.9, max_nleaps=64),
+        kt.MCRange(n_steps=1500, burnin=800),
+        tuner=kt.DualAveragingTuner(0.8, 800),
+        n_chains=256,
+        pooled_tuning=True,
+        traj_adaptation=True,
+    )
+    chain = job.run(jax.random.key(2), jnp.zeros(2))
+    lam = float(np.exp(np.mean(np.asarray(chain.final_state.log_traj))))
+    assert lam > 0.8, lam  # grew several-fold from 0.2 toward the scale of sd=5
+    flat = np.asarray(chain.flat("value"))
+    np.testing.assert_allclose(flat.mean(axis=0), [0.0, 0.0], atol=0.25)
+    np.testing.assert_allclose(flat.std(axis=0), [1.0, 5.0], rtol=0.15)
+
+
+def test_chees_requires_dynamic_trajectory_sampler():
+    with pytest.raises(ValueError, match="traj_adaptation"):
+        kt.MCJob(
+            kt.Target(logdensity_fn=lambda x: -0.5 * jnp.sum(x * x), dim=2),
+            kt.MH(),
+            kt.MCRange(n_steps=10),
+            traj_adaptation=True,
+        )
