@@ -121,7 +121,7 @@ def run_case(
     min_ess = _ess_min_chunked(chain.value)
     accept = float(np.asarray(kt.stats.acceptance(chain)))
     n_draws = chain.n_post * n_chains
-    return {
+    out = {
         "sampler": sampler_name,
         "ess_per_sec": min_ess / elapsed,
         "sampling_seconds": round(elapsed, 3),
@@ -130,6 +130,14 @@ def run_case(
         "n_chains": n_chains,
         "ess_per_draw": round(min_ess / n_draws, 4),
     }
+    fs = chain.final_state
+    if hasattr(fs, "tune"):
+        out["eps_final"] = round(float(np.mean(np.asarray(fs.tune.step))), 5)
+    if hasattr(fs, "log_traj") and sampler_name == "hmc-chees":
+        out["lambda_final"] = round(
+            float(np.exp(np.mean(np.asarray(fs.log_traj)))), 4
+        )
+    return out
 
 
 def scaling_table(timeout=900):

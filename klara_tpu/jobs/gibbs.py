@@ -407,8 +407,29 @@ class GibbsJob:
         if missing:
             raise ValueError(f"v0 missing values for {missing}")
         self._open_writers()
-        out = self._run_jit(key, v0)
+        prebatched = False
+        if self.mesh is not None:
+            v0 = self._shard_carry(v0)
+            prebatched = True
+        out = self._run_jit(key, v0, prebatched=prebatched)
         self._close_writers(out)
+        return out
+
+    def _shard_carry(self, vals: Dict[str, Any]) -> Dict[str, Any]:
+        """Batch the per-chain carry values and lay them out over the
+        mesh's chains axis (GSPMD shards the whole sweep program from
+        these input shardings — cf. MCJob.run)."""
+        carry = set(self._carry_keys())
+        out = {}
+        for k, v in vals.items():
+            if k not in carry:
+                out[k] = v
+                continue
+            x = jnp.asarray(v)
+            if x.ndim == 0 or x.shape[0] != self.n_chains:
+                x = jnp.broadcast_to(x, (self.n_chains,) + x.shape)
+            spec = P(self.chains_axis, *([None] * (x.ndim - 1)))
+            out[k] = jax.device_put(x, NamedSharding(self.mesh, spec))
         return out
 
     def resume(self, key, chains: GibbsChains, v0: Dict[str, Any]) -> GibbsChains:
@@ -424,6 +445,8 @@ class GibbsJob:
         if missing:
             raise ValueError(f"resume missing values for {missing}")
         self._open_writers()
+        if self.mesh is not None:
+            merged = self._shard_carry(merged)
         out = self._run_jit(key, merged, prebatched=True)
         self._close_writers(out)
         return out

@@ -16,7 +16,7 @@ from klara_tpu.stats.mcvar import (
 )
 from klara_tpu.stats.mean import mean, recursive_mean
 from klara_tpu.stats.metrics import softabs
-from klara_tpu.stats.rhat import rhat
+from klara_tpu.stats.rhat import ess_bulk, ess_tail, rhat, rhat_rank
 from klara_tpu.stats.zv import lzv, qzv
 
 __all__ = [
@@ -37,5 +37,8 @@ __all__ = [
     "recursive_covariance",
     "recursive_mean",
     "rhat",
+    "rhat_rank",
+    "ess_bulk",
+    "ess_tail",
     "softabs",
 ]

@@ -185,3 +185,35 @@ def test_param_sharded_target_indivisible_dim_errors():
     mesh = mesh2d(4, 2)
     with pytest.raises(ValueError, match="not divisible"):
         param_sharded_logreg_target(X, y, mesh)
+
+
+def test_gibbs_determinism_across_shardings(chain_mesh):
+    """GibbsJob under a chains mesh is bit-identical to the unsharded run
+    (same PRNG key) — the sweep program is GSPMD-sharded from the carry
+    values' input shardings."""
+    from klara_tpu.distributions import Normal
+
+    def build():
+        rho = 0.8
+        p1 = kt.GibbsParameter(
+            "p1",
+            setpdf=lambda v: Normal(v["rho"] * v["p2"], jnp.sqrt(1 - v["rho"] ** 2)),
+        )
+        p2 = kt.GibbsParameter(
+            "p2",
+            setpdf=lambda v: Normal(v["rho"] * v["p1"], jnp.sqrt(1 - v["rho"] ** 2)),
+        )
+        return kt.GenericModel([kt.Hyperparameter("rho"), p1, p2])
+
+    v0 = {"rho": jnp.float32(0.8), "p1": 0.0, "p2": 0.0}
+    kwargs = dict(sweep={}, mcrange=kt.MCRange(n_steps=400, burnin=100), n_chains=16)
+    plain = kt.GibbsJob(build(), **kwargs).run(jax.random.key(3), v0)
+    sharded = kt.GibbsJob(build(), **kwargs, mesh=chain_mesh).run(
+        jax.random.key(3), v0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(plain.samples["p1"]), np.asarray(sharded.samples["p1"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(plain.samples["p2"]), np.asarray(sharded.samples["p2"])
+    )

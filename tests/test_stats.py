@@ -103,3 +103,28 @@ def test_acceptance_without_diagnostics():
     a_diag = float(stats.acceptance(chain))
     a_runs = float(stats.acceptance(chain, diagnostics=False))
     assert abs(a_diag - a_runs) < 0.05
+
+
+def test_rank_normalized_diagnostics_iid():
+    """Rank-normalised split-Rhat ~ 1 and bulk/tail ESS ~ n*m on iid
+    draws, even for a heavy-tailed (Cauchy) distribution where plain
+    moment-based diagnostics break (Vehtari et al. 2021)."""
+    key = jax.random.key(0)
+    n, m = 500, 8
+    x = jax.random.cauchy(key, (n, m, 2))
+    r = np.asarray(kt.stats.rhat_rank(x))
+    assert r.shape == (2,)
+    assert np.all(r < 1.02), r
+    eb = np.asarray(kt.stats.ess_bulk(x))
+    et = np.asarray(kt.stats.ess_tail(x))
+    assert np.all(eb > 0.5 * n * m), eb
+    assert np.all(et > 0.25 * n * m), et
+
+
+def test_rank_normalized_rhat_detects_stuck_chain():
+    key = jax.random.key(1)
+    n, m = 500, 8
+    x = jax.random.normal(key, (n, m, 1))
+    x = x.at[:, 0, :].add(5.0)  # one chain stuck in a different mode
+    r = np.asarray(kt.stats.rhat_rank(x))
+    assert np.all(r > 1.05), r
