@@ -179,6 +179,53 @@ class Target:
             return jax.jacfwd(self.logdensity_fn)(x, *args)
         return jax.grad(self.logdensity_fn)(x, *args)
 
+    # -- likelihood / prior derivative accessors ---------------------------
+    # The reference's parameter state monitors all 13 target-related slots:
+    # {log,gradlog,tensorlog,dtensorlog} × {likelihood,prior,target} + value
+    # (src/nstates/ParameterNStates/BasicContMuvParameterNState.jl:89-119).
+    # These accessors back the gradloglikelihood/gradlogprior/tensor*/
+    # dtensor* monitored fields of MCJob.
+
+    def _logprior_callable(self) -> LogDensityFn:
+        if self.logprior_fn is not None:
+            return self.logprior_fn
+        if self.prior is not None:
+            return lambda x, *args: jnp.sum(self.prior.logpdf(x))
+        raise ValueError("target has no logprior decomposition")
+
+    def _ad_grad(self, fn) -> Callable:
+        return jax.jacfwd(fn) if self.ad_mode == "forward" else jax.grad(fn)
+
+    def grad_loglikelihood(self, x, *args) -> Array:
+        """∇ log L(x) — reference `gradloglikelihood!`."""
+        if self.loglikelihood_fn is None:
+            raise ValueError("target has no loglikelihood decomposition")
+        return self._ad_grad(self.loglikelihood_fn)(x, *args)
+
+    def grad_logprior(self, x, *args) -> Array:
+        """∇ log p(x) — reference `gradlogprior!`."""
+        return self._ad_grad(self._logprior_callable())(x, *args)
+
+    def tensor_loglikelihood(self, x, *args) -> Array:
+        """-Hessian of log L — reference `tensorloglikelihood!`."""
+        if self.loglikelihood_fn is None:
+            raise ValueError("target has no loglikelihood decomposition")
+        return _neg(jax.hessian(self.loglikelihood_fn))(x, *args)
+
+    def tensor_logprior(self, x, *args) -> Array:
+        """-Hessian of log p — reference `tensorlogprior!`."""
+        return _neg(jax.hessian(self._logprior_callable()))(x, *args)
+
+    def dtensor_loglikelihood(self, x, *args) -> Array:
+        """Rank-3 derivative of the likelihood tensor —
+        reference `dtensorloglikelihood!`."""
+        return jax.jacfwd(self.tensor_loglikelihood)(x, *args)
+
+    def dtensor_logprior(self, x, *args) -> Array:
+        """Rank-3 derivative of the prior tensor —
+        reference `dtensorlogprior!`."""
+        return jax.jacfwd(self.tensor_logprior)(x, *args)
+
     def logdensity_and_grad(self, x, *args):
         """Fused value+gradient — reference `uptogradlogtarget!`
         (BasicContMuvParameter.jl:263-323)."""

@@ -50,6 +50,9 @@ from klara_tpu.tuners.tuners import Tuner
 
 
 def _field_value(name: str, state, info: Info, target: Target):
+    """Monitored-field lookup — all 13 reference slots ({log,gradlog,
+    tensorlog,dtensorlog} × {likelihood,prior,target} + value), matching
+    src/nstates/ParameterNStates/BasicContMuvParameterNState.jl:89-119."""
     if name == "value":
         return state.position
     if name == "logtarget":
@@ -62,6 +65,22 @@ def _field_value(name: str, state, info: Info, target: Target):
         if hasattr(state, "gradlogtarget"):
             return state.gradlogtarget
         return target.grad(state.position)
+    if name == "gradloglikelihood":
+        return target.grad_loglikelihood(state.position)
+    if name == "gradlogprior":
+        return target.grad_logprior(state.position)
+    if name == "tensorlogtarget":
+        return target.tensor(state.position)
+    if name == "tensorloglikelihood":
+        return target.tensor_loglikelihood(state.position)
+    if name == "tensorlogprior":
+        return target.tensor_logprior(state.position)
+    if name == "dtensorlogtarget":
+        return target.dtensor(state.position)
+    if name == "dtensorloglikelihood":
+        return target.dtensor_loglikelihood(state.position)
+    if name == "dtensorlogprior":
+        return target.dtensor_logprior(state.position)
     raise ValueError(f"unknown monitored field {name!r}")
 
 
@@ -175,6 +194,8 @@ class MCJob:
         # would re-trace (and possibly re-compile) every run
         self._run_jit = jax.jit(self._run)
         self._resume_jit = None
+        self._warm_jit = None
+        self._sample_jit = None
 
     # ------------------------------------------------------------- from model
     @classmethod
@@ -239,7 +260,21 @@ class MCJob:
         return jax.vmap(lambda k, x: init_one(k, position=x))(init_keys, x0)
 
     # ------------------------------------------------------------------ step
-    def _scan_fn(self, chain_keys, stream: bool = False):
+    def _scan_fn(
+        self,
+        chain_keys,
+        stream: bool = False,
+        adapt: bool = True,
+        save: bool = True,
+    ):
+        """Build the per-step scan body.
+
+        ``adapt=False`` drops the tuner/mass/ChEES update code entirely —
+        used by :meth:`run_phased` for the post-burnin sampling scan,
+        where every adaptation is frozen anyway (the reference stops
+        adapting at burnin too, src/samplers/iterate/HMC.jl:225-248).
+        ``save=False`` drops the trace-buffer writes (warmup scan).
+        """
         sampler, target, tuner = self.sampler, self.target, self.tuner
         burnin, thinning = self.mcrange.burnin, self.mcrange.thinning
         pooled = self.pooled_tuning
@@ -254,7 +289,7 @@ class MCJob:
             prev_pos = states.position  # pre-step positions (ChEES hook)
             states, infos = jax.vmap(lambda k, s: one_step(k, i, s))(chain_keys, states)
 
-            if not sampler.self_tuning:
+            if adapt and not sampler.self_tuning:
                 accept = infos.accept.astype(jnp.float32)
                 stat = infos.accept_stat if stat_name == "accept_stat" else accept
                 if pooled:
@@ -269,9 +304,17 @@ class MCJob:
                 )(states.tune, accept, stat)
                 states = states._replace(tune=new_tune)
 
-            if self.mass_adaptation and hasattr(states, "inv_mass"):
-                # regularised ensemble variance (Stan-style shrinkage toward
-                # unit mass, weight set by the ensemble size)
+            if adapt and self.mass_adaptation and hasattr(states, "inv_mass"):
+                # regularised ensemble variance.  Exactly Stan's covariance
+                # regularisation (stan/mcmc/var_adaptation.hpp):
+                #   Σ = n/(n+5)·var + 5/(n+5)·1e-3
+                # i.e. shrinkage toward the SMALL constant 1e-3, not toward
+                # unit mass — a deliberately conservative prior (tiny inverse
+                # mass = small effective steps in unresolved coordinates).
+                # Stan's n is the window draw count; ours is the ensemble
+                # size, so at n_chains=32 the variance estimate is ~13% low
+                # (tested in tests/test_hardening.py mass-adaptation test);
+                # at bench scale (16k chains) the bias is invisible.
                 n_c = states.position.shape[0]
                 var = jnp.var(states.position, axis=0, keepdims=True)
                 w = n_c / (n_c + 5.0)
@@ -287,7 +330,7 @@ class MCJob:
                     inv_mass=jnp.where(adapt_now, new_inv_mass, states.inv_mass)
                 )
 
-            if self.traj_adaptation and hasattr(states, "log_traj"):
+            if adapt and self.traj_adaptation and hasattr(states, "log_traj"):
                 # ChEES gradient estimate from the ensemble: per chain,
                 # a-weighted (||x'−x̄'||² − ||x−x̄||²)·⟨x'−x̄', p'⟩·h, with
                 # h the realized trajectory-jitter fraction.  The chain
@@ -328,6 +371,11 @@ class MCJob:
                     traj_v=jnp.where(adapting, bc(v, states.traj_v), states.traj_v),
                 )
 
+            if not save:
+                if self.verbose:
+                    self._progress_callback(i, infos, burnin)
+                return (states, buffers), None
+
             save_idx = (i - burnin) // thinning
             do_save = (i >= burnin) & ((i - burnin) % thinning == 0)
 
@@ -360,26 +408,7 @@ class MCJob:
             buffers = jax.lax.cond(do_save, write, lambda b: b, buffers)
 
             if self.verbose:
-                def report(step, rate, in_burnin):
-                    phase = "burnin " if bool(in_burnin) else "sampling"
-                    print(
-                        f"[{self.target.name}] {phase} iteration {int(step)+1}: "
-                        f"{100*float(rate):.2f} % acceptance rate"
-                    )
-
-                jax.lax.cond(
-                    # the i < n_steps conjunct silences padding steps in
-                    # the chunked-streaming path (no-op in the plain scan)
-                    ((i + 1) % self.progress_period == 0)
-                    & (i < self.mcrange.n_steps),
-                    lambda: jax.debug.callback(
-                        report,
-                        i,
-                        jnp.mean(infos.accept.astype(jnp.float32)),
-                        i < burnin,
-                    ),
-                    lambda: None,
-                )
+                self._progress_callback(i, infos, burnin)
 
             if not stream:
                 return (states, buffers), None
@@ -401,6 +430,31 @@ class MCJob:
             return (states, buffers), (do_save, fields)
 
         return scan_body
+
+    def _progress_callback(self, i, infos, burnin):
+        """Host-side burnin progress report — the reference tuner `verbose`
+        flag (src/samplers/iterate/MH.jl:126-140)."""
+
+        def report(step, rate, in_burnin):
+            phase = "burnin " if bool(in_burnin) else "sampling"
+            print(
+                f"[{self.target.name}] {phase} iteration {int(step)+1}: "
+                f"{100*float(rate):.2f} % acceptance rate"
+            )
+
+        jax.lax.cond(
+            # the i < n_steps conjunct silences padding steps in
+            # the chunked-streaming path (no-op in the plain scan)
+            ((i + 1) % self.progress_period == 0)
+            & (i < self.mcrange.n_steps),
+            lambda: jax.debug.callback(
+                report,
+                i,
+                jnp.mean(infos.accept.astype(jnp.float32)),
+                i < burnin,
+            ),
+            lambda: None,
+        )
 
     def _alloc_buffers(self, states, example_info: Info):
         n_post, n_chains = self.mcrange.n_post, self.n_chains
@@ -547,6 +601,108 @@ class MCJob:
         chain = run_jit(key, x0)
         chain = self._finish_output(chain)
         return self._squeeze(chain)
+
+    # -------------------------------------------------------- phased run
+    def run_phased(self, key, x0=None):
+        """Run warmup and sampling as two separately-timed compiled scans.
+
+        Returns ``(chain, timings)`` with ``timings = {'warmup_seconds',
+        'sampling_seconds'}``.  Phase 1 scans steps ``[0, burnin)`` with
+        all adaptation on and saves nothing; phase 2 scans
+        ``[burnin, n_steps)`` with the adaptation code removed from the
+        program — semantically identical to :meth:`run` because every
+        adaptation freezes at burnin anyway (dual averaging holds
+        step=εbar after nadapt, reference src/samplers/iterate/
+        HMC.jl:225-248; mass/ChEES hooks gate on i<burnin), and verified
+        bit-identical in tests (for nadapt < burnin).  Two documented
+        boundary differences from :meth:`run`:
+
+          * with nadapt >= burnin, dual averaging freezes to εbar AT the
+            boundary (`Tuner.finalize`) instead of one step later — εbar
+            is the better estimate, so this is a strict improvement;
+          * a rate-tuner period that straddles the burnin boundary (which
+            the reference lets fire just past burnin,
+            src/samplers/iterate/MH.jl:127) does not fire.
+
+        This is the honest way to report sampling throughput: warmup cost
+        is real but amortises over however many draws follow, so the two
+        are timed apart.
+
+        Only in-memory output (`destination='nstate'`/`'none'`) is
+        supported; use :meth:`run` for csv streaming.
+        """
+        import time as _time
+
+        if self.destination == "csv":
+            raise ValueError(
+                "run_phased supports destination 'nstate'/'none' only"
+            )
+        key, x0 = self._prepare_x0(key, x0)
+        self._checkin(x0)
+        if self.mesh is not None:
+            x0 = jnp.asarray(x0)
+            if x0.ndim < 1 or x0.shape[0] != self.n_chains:
+                x0 = jnp.broadcast_to(x0, (self.n_chains,) + x0.shape)
+            sharding = NamedSharding(
+                self.mesh, P(self.chains_axis, *([None] * (x0.ndim - 1)))
+            )
+            x0 = jax.device_put(x0, sharding)
+
+        if self._warm_jit is None:
+            self._warm_jit = jax.jit(self._warmup_phase)
+            self._sample_jit = jax.jit(self._sampling_phase)
+
+        t0 = _time.perf_counter()
+        states, chain_keys = self._warm_jit(key, x0)
+        jax.block_until_ready(states)
+        t1 = _time.perf_counter()
+        chain = self._sample_jit(states, chain_keys)
+        jax.block_until_ready(chain.final_state)
+        t2 = _time.perf_counter()
+        timings = {
+            "warmup_seconds": t1 - t0,
+            "sampling_seconds": t2 - t1,
+        }
+        return self._squeeze(chain), timings
+
+    def _warmup_phase(self, key, x0):
+        init_key, run_key = jax.random.split(key)
+        states = self._init_states(init_key, x0)
+        chain_keys = jax.random.split(run_key, self.n_chains)
+        burnin = self.mcrange.burnin
+        if burnin > 0:
+            scan_body = self._scan_fn(chain_keys, adapt=True, save=False)
+            (states, _), _ = jax.lax.scan(
+                scan_body, (states, ({}, {})), jnp.arange(burnin)
+            )
+            if hasattr(states, "tune") and not self.sampler.self_tuning:
+                states = states._replace(
+                    tune=jax.vmap(self.tuner.finalize)(states.tune)
+                )
+        return states, chain_keys
+
+    def _sampling_phase(self, states, chain_keys):
+        infos_shape = jax.eval_shape(
+            lambda s: jax.vmap(
+                lambda k, st: self.sampler.step(k, st, self.target)
+            )(chain_keys, s)[1],
+            states,
+        )
+        example_info = jax.tree.map(
+            lambda sd: jnp.zeros(sd.shape, sd.dtype), infos_shape
+        )
+        if self.destination == "nstate":
+            buffers = self._alloc_buffers(states, example_info)
+        else:
+            buffers = ({}, {})
+        scan_body = self._scan_fn(chain_keys, adapt=False)
+        (states, buffers), _ = jax.lax.scan(
+            scan_body,
+            (states, buffers),
+            jnp.arange(self.mcrange.burnin, self.mcrange.n_steps),
+        )
+        samples, diags = buffers
+        return Chain(samples=samples, diagnostics=diags, final_state=states)
 
     @property
     def _buffered_csv(self) -> bool:

@@ -119,6 +119,16 @@ class Tuner:
     def _tune(self, tune, accept_stat, at_boundary, burnin):
         return tune.step, tune.extra
 
+    def finalize(self, tune: TuneState) -> TuneState:
+        """Freeze the tune state for post-adaptation sampling.
+
+        Used by MCJob.run_phased at the warmup/sampling boundary: the
+        sampling scan carries no tuner code, so any 'freeze' the tuner
+        would apply on its first post-adaptation update must be applied
+        here instead.  Base tuners adapt only inside burnin periods, so
+        the default is the identity."""
+        return tune
+
 
 @dataclasses.dataclass(frozen=True)
 class VanillaTuner(Tuner):
@@ -201,6 +211,17 @@ class DualAveragingTuner(Tuner):
             count=count,
         )
         return new_step, new_extra
+
+    def finalize(self, tune: TuneState) -> TuneState:
+        """step := εbar — the reference applies this on the first
+        post-nadapt iteration (src/samplers/iterate/HMC.jl:247); at the
+        phased warmup/sampling boundary it is applied once here.  (With
+        nadapt == burnin this freezes one step earlier than the
+        reference's trailing raw step — εbar is the better estimate.)
+        A zero-length warmup (count == 0) keeps the raw step: εbar is
+        still its init value 1.0."""
+        ex: DualAveragingExtra = tune.extra
+        return tune._replace(step=jnp.where(ex.count > 0, ex.eps_bar, tune.step))
 
     def set_mu_from_step(self, tune: TuneState) -> TuneState:
         """Re-anchor μ = log(10·step) after an initial step-size search —
