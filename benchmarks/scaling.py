@@ -97,7 +97,7 @@ def measure(n_chains=2048, dim=25, n_data=256, n_steps=80, burnin=40, repeats=2)
         return best, draws
 
     rows = []
-    t1 = None
+    t1 = prev = None
     for n_dev in sizes:
         secs, draws = run_once(n_dev)
         if t1 is None:
@@ -107,16 +107,31 @@ def measure(n_chains=2048, dim=25, n_data=256, n_steps=80, burnin=40, repeats=2)
                 "devices": n_dev,
                 "seconds": round(secs, 4),
                 "draws_per_sec": round(draws / secs, 1),
+                # vs the 1-device run: >1 possible on a shared host (more
+                # virtual devices recruit more host cores), so this alone
+                # cannot fail — see the marginal gate below
                 "efficiency": round(t1 / secs, 4),
+                # MARGINAL ratio T(prev)/T(this): the falsifiable signal.
+                # Fixed total work on fixed silicon means doubling the
+                # mesh must not make the program slower; a drop below
+                # 1/1.2 flags real sharding overhead (collectives,
+                # partitioning, layout) introduced by that doubling.
+                "marginal_ratio": round(prev / secs, 4) if prev else 1.0,
             }
         )
+        prev = secs
+    # gate: no mesh size may be >20% SLOWER than the previous size.
+    # (The old T(1)/T(N) >= 0.8 gate was near-unfalsifiable on a shared
+    # host because extra virtual devices recruit extra host cores.)
+    worst_marginal = min(r["marginal_ratio"] for r in rows)
     return {
         "method": "fixed-total-chains sharding overhead on a virtual CPU mesh",
         "n_chains": n_chains,
         "dim": dim,
         "rows": rows,
         "min_efficiency": min(r["efficiency"] for r in rows),
-        "pass_80pct": all(r["efficiency"] >= 0.8 for r in rows),
+        "worst_marginal_ratio": worst_marginal,
+        "pass_no_marginal_regression": worst_marginal >= 1.0 / 1.2,
     }
 
 
@@ -136,8 +151,10 @@ def main():
             print(
                 f"  {r['devices']} device(s): {r['seconds']:8.3f}s  "
                 f"{r['draws_per_sec']:12.0f} draws/s  eff={r['efficiency']:.3f}"
+                f"  marginal={r['marginal_ratio']:.3f}"
             )
-        print(f"  >=80% target: {'PASS' if result['pass_80pct'] else 'FAIL'}")
+        ok = result["pass_no_marginal_regression"]
+        print(f"  no->20%-marginal-regression gate: {'PASS' if ok else 'FAIL'}")
 
 
 if __name__ == "__main__":

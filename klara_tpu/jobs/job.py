@@ -257,7 +257,34 @@ class MCJob:
             step_size=self.step_size,
             tuner=self.tuner,
         )
-        return jax.vmap(lambda k, x: init_one(k, position=x))(init_keys, x0)
+        states = jax.vmap(lambda k, x: init_one(k, position=x))(init_keys, x0)
+        if (
+            self.pooled_tuning
+            and hasattr(states, "tune")
+            and not self.sampler.self_tuning
+        ):
+            # pooled adaptation must start from ONE shared step size: the
+            # per-chain Alg-4 searches give every chain a different ε0 (and
+            # dual-averaging μ), so even with pooled statistics the chains
+            # would adapt to different steps forever — and a per-chain ε
+            # makes per-chain leapfrog trip counts, which under vmap all
+            # run to the batch max (idle SIMD lanes).  Geometric mean of
+            # the per-chain searches, μ re-anchored to it.
+            from klara_tpu.tuners.tuners import DualAveragingTuner
+
+            tune = states.tune
+            pooled_step = jnp.exp(
+                jnp.mean(jnp.log(tune.step), axis=0, keepdims=True)
+            )
+            tune = tune._replace(
+                step=jnp.broadcast_to(pooled_step, tune.step.shape).astype(
+                    tune.step.dtype
+                )
+            )
+            if isinstance(self.tuner, DualAveragingTuner):
+                tune = jax.vmap(self.tuner.set_mu_from_step)(tune)
+            states = states._replace(tune=tune)
+        return states
 
     # ------------------------------------------------------------------ step
     def _scan_fn(
@@ -280,14 +307,49 @@ class MCJob:
         pooled = self.pooled_tuning
         stat_name = sampler.tuner_statistic
 
+        # shared ('step'-style) trajectory jitter: ONE draw per iteration
+        # applied to every chain via a temporary log_traj offset, so the
+        # vmapped leapfrog runs the same trip count on every SIMD lane
+        # (see HMC.jitter_style).  The kernel's own per-chain jitter is
+        # disabled for the step call.
+        shared_jitter = (
+            getattr(sampler, "jitter", 0.0) > 0.0
+            and getattr(sampler, "jitter_style", "chain") == "step"
+            and getattr(sampler, "dynamic_nleaps", False)
+        )
+        step_sampler = (
+            dataclasses.replace(sampler, jitter=0.0) if shared_jitter else sampler
+        )
+
         def one_step(key, i, state):
             step_key = jax.random.fold_in(key, i)
-            return sampler.step(step_key, state, target)
+            return step_sampler.step(step_key, state, target)
 
         def scan_body(carry, i):
             states, buffers = carry
             prev_pos = states.position  # pre-step positions (ChEES hook)
+            frac_shared = jnp.float32(1.0)
+            if shared_jitter:
+                # jitter key stream disjoint from every chain's step keys
+                # (those are fold_in(chain_key, i) with i < n_steps)
+                jit_key = jax.random.fold_in(
+                    jax.random.fold_in(chain_keys[0], 2**31 - 1), i
+                )
+                frac_shared = jax.random.uniform(
+                    jit_key,
+                    minval=1.0 - sampler.jitter,
+                    maxval=1.0 + sampler.jitter,
+                    dtype=states.log_traj.dtype,
+                )
+                lt_saved = states.log_traj
+                states = states._replace(
+                    log_traj=states.log_traj + jnp.log(frac_shared)
+                )
             states, infos = jax.vmap(lambda k, s: one_step(k, i, s))(chain_keys, states)
+            if shared_jitter:
+                # log_traj passes through the kernel untouched; restore the
+                # unjittered value exactly (no float round-trip)
+                states = states._replace(log_traj=lt_saved)
 
             if adapt and not sampler.self_tuning:
                 accept = infos.accept.astype(jnp.float32)
@@ -337,7 +399,9 @@ class MCJob:
                 # means become psum collectives under a mesh.
                 x_prop = infos.extras["x_prop"]
                 p_end = infos.extras["p_end"]
-                frac = infos.extras["traj_frac"].astype(jnp.float32)
+                # realized jitter fraction: per-chain from the kernel, or
+                # the shared per-step draw (kernel reports 1.0 then)
+                frac = infos.extras["traj_frac"].astype(jnp.float32) * frac_shared
                 a = infos.accept_stat.astype(jnp.float32)
                 xbar = jnp.mean(prev_pos, axis=0)
                 xpbar = jnp.mean(x_prop, axis=0)

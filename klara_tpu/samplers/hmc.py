@@ -69,6 +69,15 @@ class HMC(Sampler):
     # (Neal 2011 §3.2 recommends jittering ε or L).  Only active with
     # dynamic_nleaps.
     jitter: float = 0.0
+    # 'step' (default): ONE shared jitter draw per iteration, applied by
+    # the job driver to all chains — under vmap every chain then runs the
+    # same nleaps, so no SIMD lane idles (per-chain trip counts run to
+    # the batch MAX, wasting ~E[max]/E[mean] ≈ 2x the leapfrogs at
+    # jitter=0.9).  This matches ChEES-HMC's shared per-iteration jitter
+    # (Hoffman, Radul & Sountsov 2021).  'chain': independent per-chain
+    # draws (inside the kernel) — decorrelates trajectory lengths across
+    # chains at the cost of batch-max execution.
+    jitter_style: str = "step"
 
     tuner_statistic = "accept_stat"
 

@@ -127,6 +127,57 @@ def test_run_phased_zero_burnin():
     assert chain.value.shape[0] == 100
 
 
+# -------------------------------------------------- shared ('step') jitter
+def _jitter_job(style):
+    return kt.MCJob(
+        std_normal(3),
+        kt.HMC(
+            leapstep=0.1, trajectory_length=1.0, jitter=0.9,
+            jitter_style=style, dynamic_nleaps=True, max_nleaps=64,
+        ),
+        kt.MCRange(n_steps=60, burnin=20),
+        tuner=kt.VanillaTuner(),
+        n_chains=16,
+        diagnostics=("accept", "nleaps"),
+        step_size=0.1,
+    )
+
+
+def test_step_jitter_shared_across_chains():
+    """'step' jitter style: ONE draw per iteration -> every chain runs the
+    same nleaps (no batch-max waste under vmap), varying over steps."""
+    chain = _jitter_job("step").run(jax.random.key(0), jnp.zeros(3))
+    nleaps = np.asarray(chain["nleaps"])  # (n_post, n_chains)
+    assert np.all(nleaps == nleaps[:, :1]), "jitter must be shared per step"
+    assert len(np.unique(nleaps[:, 0])) > 3, "jitter must vary across steps"
+
+
+def test_chain_jitter_varies_across_chains():
+    chain = _jitter_job("chain").run(jax.random.key(0), jnp.zeros(3))
+    nleaps = np.asarray(chain["nleaps"])
+    assert np.any(nleaps != nleaps[:, :1]), "per-chain jitter must differ"
+
+
+def test_chees_adapts_with_shared_jitter():
+    """ChEES trajectory adaptation works with the shared jitter draw (the
+    gradient uses the realized shared fraction)."""
+    job = kt.MCJob(
+        scaled_normal(jnp.asarray([1.0, 1.0])),
+        kt.HMC(leapstep=0.1, trajectory_length=0.2, jitter=0.9,
+               jitter_style="step", max_nleaps=64),
+        kt.MCRange(n_steps=800, burnin=600),
+        tuner=kt.DualAveragingTuner(0.8, 600),
+        n_chains=64,
+        pooled_tuning=True,
+        traj_adaptation=True,
+    )
+    x0 = jax.random.normal(jax.random.key(0), (64, 2))
+    chain = job.run(jax.random.key(1), x0)
+    lam = float(np.exp(np.mean(np.asarray(chain.final_state.log_traj))))
+    # ChEES must grow the too-short initial trajectory (0.2) toward ~pi/2
+    assert lam > 0.5, lam
+
+
 # ------------------------------------------- mass-adaptation shrinkage
 def test_mass_adaptation_small_ensemble_matches_stan_formula():
     """At n_chains=32 the adapted inverse mass must land on Stan's

@@ -16,4 +16,8 @@ def test_scaling_measure_structure():
     for r in result["rows"]:
         assert r["seconds"] > 0 and r["draws_per_sec"] > 0
     assert result["rows"][0]["efficiency"] == 1.0
-    assert "pass_80pct" in result
+    assert result["rows"][0]["marginal_ratio"] == 1.0
+    assert "pass_no_marginal_regression" in result
+    assert result["worst_marginal_ratio"] == min(
+        r["marginal_ratio"] for r in result["rows"]
+    )
