@@ -28,6 +28,7 @@ def build_registry():
         "bivariate_normal_gibbs",
         "poisson_mh",
         "gamma_mh",
+        "gamma_mh_truncation",
         "normal_adaptive",
         "rats_gibbs",
     ):

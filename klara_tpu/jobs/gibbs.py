@@ -471,6 +471,29 @@ class GibbsJob:
                 w.close()
 
     def to_dot(self) -> str:
-        """Graphviz export of the job (reference `job2dot`,
-        BasicGibbsJob.jl:320-359)."""
-        return self.model.to_dot("gibbs_job")
+        """Graphviz export of the job with per-variable update annotations
+        (reference `job2dot`, BasicGibbsJob.jl:320-359):
+
+          * dependent variables (parameters + transformations) get
+            ``peripheries=2``;
+          * monitored dependents (destination != 'none') get an
+            underlined label;
+          * MCMC-within-Gibbs blocks (a ``sweep`` entry) get
+            ``style=diagonals`` — distinguishing them from
+            conditional-distribution draws and transformations.
+        """
+        lines = ["digraph GibbsJob {"]
+        for v in self.model.vertices:
+            attrs = [f"shape={v.dotshape}"]
+            if v.is_dependent:
+                attrs.append("peripheries=2")
+                opts = self._opts.get(v.key)
+                if opts is not None and opts["destination"] != "none":
+                    attrs.append(f'label=<<u>{v.key}</u>>')
+                if isinstance(v, GibbsParameter) and v.key in self.sweep:
+                    attrs.append("style=diagonals")
+            lines.append(f'  "{v.key}" [{", ".join(attrs)}];')
+        for s, t in self.model.edges:
+            lines.append(f'  "{s}" -> "{t}";')
+        lines.append("}")
+        return "\n".join(lines)

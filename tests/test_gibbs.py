@@ -128,6 +128,39 @@ def test_model_graph_api():
         kt.GenericModel([p, p])
 
 
+def test_job2dot_annotations():
+    """GibbsJob.to_dot marks dependents with peripheries=2, monitored
+    dependents with an underlined label, and MCMC-within-Gibbs blocks
+    with style=diagonals (reference job2dot, BasicGibbsJob.jl:320-359)."""
+    from klara_tpu.jobs.gibbs import Nested
+
+    p = kt.GibbsParameter("p", setpdf=lambda v: Normal(0.0, 1.0))
+    q = kt.GibbsParameter(
+        "q", logtarget=lambda x, v: -0.5 * jnp.sum((x - v["p"]) ** 2)
+    )
+    t = kt.Transformation("t", lambda v: v["p"] ** 2)
+    model = kt.GenericModel(
+        [kt.Data("y"), p, q, t], [("y", "p"), ("p", "q"), ("p", "t")]
+    )
+    job = kt.GibbsJob(
+        model,
+        {"q": Nested(kt.MH(0.5), n_steps=2)},
+        kt.MCRange(n_steps=10),
+        monitor=["p", "q"],
+        outopts={"q": {"destination": "none"}},
+    )
+    dot = job.to_dot()
+    # data vertex: plain, single periphery
+    assert '"y" [shape=box];' in dot
+    # conditional-draw parameter, monitored: double periphery + underline
+    assert '"p" [shape=circle, peripheries=2, label=<<u>p</u>>];' in dot
+    # MCMC-within-Gibbs block, destination 'none': diagonals, no label
+    assert '"q" [shape=circle, peripheries=2, style=diagonals];' in dot
+    # transformation (not monitored here): double periphery only
+    assert '"t" [shape=polygon, peripheries=2];' in dot
+    assert '"p" -> "q";' in dot
+
+
 def test_gibbs_missing_v0_raises():
     p = kt.GibbsParameter("p", setpdf=lambda v: Normal(0.0, 1.0))
     model = kt.GenericModel([kt.Data("y"), p])
