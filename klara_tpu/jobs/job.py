@@ -91,6 +91,11 @@ def _diag_value(name: str, state, info: Info):
         return info.accept_stat
     if name in info.extras:
         return info.extras[name]
+    if hasattr(state, name):
+        # sampler-state fields (tune step, log_traj, inv_mass, ...) are
+        # recordable per draw — the reference's adaptation diagnostics
+        # channel (e.g. AMWG's per-draw logσ, src/samplers/AMWG.jl:109)
+        return getattr(state, name)
     raise ValueError(f"unknown diagnostic {name!r}")
 
 
@@ -165,6 +170,14 @@ class MCJob:
     # requires a sampler whose state carries ``log_traj`` (HMC).
     traj_adaptation: bool = False
     traj_lr: float = 0.1
+    # ChEES starts after this fraction of burnin: during the initial
+    # transient (chains far from stationarity) longer trajectories ALWAYS
+    # increase ensemble spread, so the ChEES gradient is uniformly
+    # positive and λ rockets to its clip at the full Adam rate before
+    # the ensemble equilibrates (measured: λ 0.5→1000 in <100 steps on
+    # 100-dim logreg).  Delaying past the transient (and past the first
+    # mass-matrix update) keeps the gradient informative.
+    traj_start_frac: float = 0.1
 
     def __post_init__(self):
         if self.tuner is None:
@@ -403,10 +416,22 @@ class MCJob:
                 # the shared per-step draw (kernel reports 1.0 then)
                 frac = infos.extras["traj_frac"].astype(jnp.float32) * frac_shared
                 a = infos.accept_stat.astype(jnp.float32)
+                # ChEES is defined in the WHITENED (mass-metric) space
+                # z = x/sqrt(M^-1): the squared-distance terms get
+                # 1/inv_mass weights, while in the projection term
+                # <z'-z̄', dz'/dT> = <x'-x̄', p'> the mass factors cancel
+                # exactly (dz/dT = sqrt(M^-1)·p).  Unwhitened distances
+                # let the widest posterior dimensions dominate the
+                # gradient and can drive λ into runaway growth.
+                inv_w = (
+                    1.0 / states.inv_mass
+                    if hasattr(states, "inv_mass")
+                    else 1.0
+                )
                 xbar = jnp.mean(prev_pos, axis=0)
                 xpbar = jnp.mean(x_prop, axis=0)
-                dold = jnp.sum(jnp.square(prev_pos - xbar), axis=-1)
-                dnew = jnp.sum(jnp.square(x_prop - xpbar), axis=-1)
+                dold = jnp.sum(inv_w * jnp.square(prev_pos - xbar), axis=-1)
+                dnew = jnp.sum(inv_w * jnp.square(x_prop - xpbar), axis=-1)
                 proj = jnp.sum((x_prop - xpbar) * p_end, axis=-1)
                 w = a / jnp.maximum(jnp.mean(a), 1e-3)
                 g = jnp.mean(w * (dnew - dold) * proj * frac)
@@ -422,7 +447,18 @@ class MCJob:
                     jnp.sqrt(vhat) + 1e-8
                 )
                 lt_new = jnp.clip(lt_new, jnp.log(1e-2), jnp.log(1e3))
-                adapting = i < burnin
+                # never adapt λ beyond what the kernel can EXECUTE: past
+                # λ·(1+jitter) = max_nleaps·ε the realized trajectory is
+                # clipped, outcomes stop depending on λ, and the gradient
+                # pins λ at the ceiling on sign noise
+                if hasattr(sampler, "max_nleaps"):
+                    eps_now = jnp.mean(states.tune.step)
+                    cap = jnp.log(
+                        eps_now * sampler.max_nleaps / (1.0 + sampler.jitter)
+                    )
+                    lt_new = jnp.minimum(lt_new, cap.astype(lt_new.dtype))
+                traj_start = int(burnin * self.traj_start_frac)
+                adapting = (i >= traj_start) & (i < burnin)
 
                 def bc(x, like):
                     return jnp.broadcast_to(x.astype(like.dtype), like.shape)
