@@ -135,11 +135,14 @@ def run_case(case, n_chains, n_steps, burnin, lam, max_doublings, precision):
     )
     x0 = 0.1 * jax.random.normal(jax.random.key(42), (n_chains, DIM), jnp.float32)
 
-    ctx = (
-        jax.default_matmul_precision("float32")
-        if precision == "f32"
-        else contextlib.nullcontext()
-    )
+    if precision == "f32":
+        ctx = jax.default_matmul_precision("float32")
+    elif precision == "high":
+        # three bf16 MXU passes (BF16_BF16_F32_X3) ~ f32 accuracy at a
+        # fraction of full-f32 matmul cost
+        ctx = jax.default_matmul_precision("high")
+    else:
+        ctx = contextlib.nullcontext()
     with ctx:
         print(f"# {case} x{n_chains}: compiling+warm...", file=sys.stderr, flush=True)
         chain, _ = job.run_phased(jax.random.key(0), x0)  # compile + warm
@@ -312,7 +315,7 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=N_STEPS)
     ap.add_argument("--burnin", type=int, default=BURNIN)
     ap.add_argument("--max-doublings", type=int, default=5)
-    ap.add_argument("--precision", default="default", choices=["default", "f32"])
+    ap.add_argument("--precision", default="default", choices=["default", "high", "f32"])
     args = ap.parse_args()
     if args.case is None:
         main()

@@ -81,6 +81,35 @@ NORMAL_EXAMPLES = {
         "normal HMC dual-avg",
         (0.6, 1.0),
     ),
+    # NUTS: dual-averaging and no-adaptation variants (reference
+    # Normal/NUTS/function/{dualaveraging,noadaptation}/*.jl)
+    "normal_nuts_da": lambda: _check(
+        _run(kt.NUTS(), kt.DualAveragingTuner(0.8, 1000), n_steps=5000),
+        "normal NUTS dual-avg",
+    ),
+    "normal_nuts_noadapt": lambda: _check(
+        _run(kt.NUTS(leapstep=0.75), n_steps=5000, step_size=0.75),
+        "normal NUTS fixed-step",
+    ),
+    # HMC without adaptation (Normal/HMC/*/analytical.jl: HMC(0.75))
+    "normal_hmc_noadapt": lambda: _check(
+        _run(kt.HMC(0.75, 10), n_steps=5000, step_size=0.75),
+        "normal HMC fixed-step",
+        (0.5, 1.0),
+    ),
+    # HMC with forward-mode AD (Normal/HMC/function/forwarddiff.jl)
+    "normal_hmc_forward": lambda: _check(
+        _run_forward(kt.HMC(0.2, 8), kt.DualAveragingTuner(0.8, 1000)),
+        "normal HMC forward-AD",
+        (0.6, 1.0),
+    ),
+    # distribution-backed targets (reference's pdf-ctor rows,
+    # Normal/AM/pdf.jl and Normal/MALA/pdf/*.jl): the target is
+    # Target.from_distribution(Normal(0, 1)) instead of a log-density fn
+    "normal_am_pdf": lambda: _check(_run_pdf(kt.AM()), "normal AM (pdf)"),
+    "normal_mala_pdf": lambda: _check(
+        _run_pdf(kt.MALA(0.9)), "normal MALA (pdf)"
+    ),
     # acceptance-rejection with a wide normal envelope — the reference's
     # test/ARS.jl:1-40 config verbatim: target N(0,1) shape, envelope
     # N(0,2), proposalscale=log(10).  NOTE: like the reference kernel
@@ -90,6 +119,32 @@ NORMAL_EXAMPLES = {
     # not an exactness the reference never had.
     "normal_ars": lambda: _ars_example(),
 }
+
+
+def _run_forward(sampler, tuner=None, n_steps=5000, burnin=1000):
+    """Forward-mode AD target (reference ForwardDiff rows)."""
+    import dataclasses
+
+    target = dataclasses.replace(_target(), ad_mode="forward")
+    job = kt.MCJob(
+        target, sampler, kt.MCRange(n_steps=n_steps, burnin=burnin),
+        tuner=tuner, n_chains=32,
+    )
+    return job.run(jax.random.key(0), jnp.array([1.25, 3.11]))
+
+
+def _run_pdf(sampler, n_steps=10000, burnin=1000):
+    """Distribution-backed target: Target.from_distribution(Normal(0,1))
+    over a 2-vector — the reference's `pdf=...` parameter constructor
+    (setpdf path, BasicContMuvParameter.jl:552-564)."""
+    from klara_tpu.distributions import Normal
+
+    target = kt.Target.from_distribution(Normal(0.0, 1.0), dim=2)
+    job = kt.MCJob(
+        target, sampler, kt.MCRange(n_steps=n_steps, burnin=burnin),
+        n_chains=32,
+    )
+    return job.run(jax.random.key(0), jnp.array([1.25, 3.11]))
 
 
 def _ars_example():

@@ -37,6 +37,7 @@ def build_registry():
     # parametrised families
     registry.update(importlib.import_module("swiss_matrix").SWISS_EXAMPLES)
     registry.update(importlib.import_module("normal_family").NORMAL_EXAMPLES)
+    registry.update(importlib.import_module("bivariate_family").BIVARIATE_EXAMPLES)
     registry.update(importlib.import_module("t_mh").T_EXAMPLES)
     return registry
 

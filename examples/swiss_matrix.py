@@ -142,6 +142,41 @@ SWISS_EXAMPLES["swiss_smmala_forward"] = _mk(
     (0.3, 0.85),
     "forward",
 )
+SWISS_EXAMPLES["swiss_hmc_forward"] = _mk(
+    lambda: kt.HMC(0.1, 10),
+    lambda b: kt.DualAveragingTuner(0.8, b),
+    (0.6, 1.0),
+    "forward",
+)
+SWISS_EXAMPLES["swiss_nuts_forward"] = _mk(
+    lambda: kt.NUTS(),
+    lambda b: kt.DualAveragingTuner(0.8, b),
+    (0.6, 1.0),
+    "forward",
+)
+# no-adaptation rows: fixed step sizes from the reference scripts
+# (swiss/HMC/noadaptation/*.jl: HMC(0.35); swiss/NUTS/noadaptation/*.jl:
+# NUTS(0.4, maxndoublings=7)), VanillaMCTuner
+for kind in ("analytical", "reverse"):
+    SWISS_EXAMPLES[f"swiss_hmc_noadapt_{kind}"] = _mk(
+        lambda: kt.HMC(0.35, 10), lambda b: None, (0.3, 0.95), kind,
+        step_size=0.35,
+    )
+    SWISS_EXAMPLES[f"swiss_nuts_noadapt_{kind}"] = _mk(
+        lambda: kt.NUTS(leapstep=0.4, max_doublings=7),
+        lambda b: None,
+        None,
+        kind,
+        n_steps=3000, burnin=1000, step_size=0.4,
+    )
+# per-coordinate adaptive Metropolis-within-Gibbs (swiss/AMWG.jl:
+# MuvAMWG([2.5, 1., 3., 2.5]) + RobertsRosenthalMCTuner)
+SWISS_EXAMPLES["swiss_amwg"] = _mk(
+    lambda: kt.AMWG(sigma0=jnp.array([2.5, 1.0, 3.0, 2.5])),
+    lambda b: None,
+    (0.2, 0.7),
+    "reverse",
+)
 
 
 def main(n_chains=64):
