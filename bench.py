@@ -30,9 +30,14 @@ compile; warm runs measure the chip.
 MFU: leapfrog FLOPs are computed analytically (one fused value+grad of
 the logreg target = 2 MXU matmuls = 4*N_DATA*DIM flops per chain-leap;
 leap counts from the recorded nleaps/na diagnostics) and reported as
-achieved FLOP/s and % of the v5e bf16 peak (197 TFLOP/s); XLA runs these
-matmuls as bf16 MXU passes with f32 accumulation by default, and the
-hmc_f32 row measures the same program forced to full-f32 matmuls.
+achieved FLOP/s and % of the v5e bf16 peak (197 TFLOP/s).
+
+Precision rows (hmc_high / hmc_f32 vs the default): XLA's default bf16
+MXU passes leave bf16-level noise in the log-density, which inflates
+|dH| and makes dual averaging halve the step size (measured eps 0.094 vs
+0.187); 'high' (BF16_BF16_F32_X3, three bf16 passes ~ f32 accuracy)
+recovers the f32 step at a fraction of f32 matmul cost and wins
+end-to-end, so it is included in the headline candidates.
 
 vs_baseline: the reference (Klara.jl) publishes no numbers and runs ONE
 chain at a time, single-threaded (src/jobs/jobs.jl:212).  The recorded
