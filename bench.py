@@ -201,7 +201,7 @@ def run_case(case, n_chains, n_steps, burnin, lam, max_doublings, precision):
 # parent mode: orchestrate cases in isolated subprocesses
 # ======================================================================
 
-def run_case_isolated(case, n_chains, timeout=1800, lam=LAMBDA,
+def run_case_isolated(case, n_chains, timeout=2700, lam=LAMBDA,
                       n_steps=N_STEPS, burnin=BURNIN, max_doublings=5,
                       precision="default"):
     cmd = [
