@@ -203,29 +203,46 @@ def run_case(case, n_chains, n_steps, burnin, lam, max_doublings, precision):
 
 def run_case_isolated(case, n_chains, timeout=2700, lam=LAMBDA,
                       n_steps=N_STEPS, burnin=BURNIN, max_doublings=5,
-                      precision="default"):
+                      precision="default", retries=1):
+    """Run one case in a fresh subprocess; on failure, retry `retries`
+    times in ANOTHER fresh subprocess.  The tunneled backend sporadically
+    returns UNAVAILABLE on a healthy chip (seen in BENCH_r02), and a fresh
+    process gets a fresh TPU client — an in-process retry would not."""
     cmd = [
         sys.executable, os.path.abspath(__file__),
         "--case", case, "--chains", str(n_chains), "--lam", str(lam),
         "--steps", str(n_steps), "--burnin", str(burnin),
         "--max-doublings", str(max_doublings), "--precision", precision,
     ]
-    t0 = time.perf_counter()
-    try:
-        out = subprocess.run(cmd, capture_output=True, text=True,
-                             timeout=timeout, env=_child_env(), cwd=REPO)
-        for line in out.stderr.strip().splitlines():
+    err = "no attempt ran"
+    for attempt in range(retries + 1):
+        t0 = time.perf_counter()
+        try:
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=timeout, env=_child_env(), cwd=REPO)
+            stderr, stdout = out.stderr or "", out.stdout or ""
+        except subprocess.TimeoutExpired as e:
+            def _txt(b):
+                return b.decode(errors="replace") if isinstance(b, bytes) else (b or "")
+            stderr, stdout = _txt(e.stderr), _txt(e.stdout)
+            out = None
+        for line in stderr.strip().splitlines():
             if line.startswith("#"):
                 print(line, file=sys.stderr, flush=True)
-        for line in reversed(out.stdout.strip().splitlines()):
-            line = line.strip()
-            if line.startswith("{"):
-                return json.loads(line)
-        err = (out.stderr or out.stdout or "no output").strip()[-400:]
-    except subprocess.TimeoutExpired:
-        err = f"timeout after {timeout}s (wall {time.perf_counter()-t0:.0f}s)"
-    print(f"# case {case} x{n_chains} FAILED: {err[-200:]}", file=sys.stderr,
-          flush=True)
+        if out is not None:
+            for line in reversed(stdout.strip().splitlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    return json.loads(line)
+            err = (stderr or stdout or "no output").strip()[-400:]
+        else:
+            # keep the child's partial progress lines: they say which leg
+            # (claim / compile / warmup / sampling) the case died in
+            last = (stderr.strip().splitlines() or ["<no progress output>"])[-1]
+            err = (f"timeout after {timeout}s "
+                   f"(wall {time.perf_counter()-t0:.0f}s; last: {last[-160:]})")
+        print(f"# case {case} x{n_chains} attempt {attempt+1} FAILED: "
+              f"{err[-220:]}", file=sys.stderr, flush=True)
     return {"sampler": case, "n_chains": n_chains, "ess_per_sec": 0.0,
             "error": err}
 
@@ -278,7 +295,8 @@ def main():
     #    riskiest case LAST — its compile is the heaviest program
     nuts = None
     for n, md in NUTS_ATTEMPTS:
-        nuts = run_case_isolated("nuts", n, max_doublings=md)
+        # the descending-size ladder IS the retry mechanism here
+        nuts = run_case_isolated("nuts", n, max_doublings=md, retries=0)
         if nuts["ess_per_sec"] > 0:
             break
 

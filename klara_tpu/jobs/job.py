@@ -91,11 +91,15 @@ def _diag_value(name: str, state, info: Info):
         return info.accept_stat
     if name in info.extras:
         return info.extras[name]
-    if hasattr(state, name):
-        # sampler-state fields (tune step, log_traj, inv_mass, ...) are
-        # recordable per draw — the reference's adaptation diagnostics
-        # channel (e.g. AMWG's per-draw logσ, src/samplers/AMWG.jl:109)
-        return getattr(state, name)
+    if name in getattr(state, "_fields", ()):
+        # sampler-state ARRAY fields (tune step, log_traj, inv_mass, ...)
+        # are recordable per draw — the reference's adaptation diagnostics
+        # channel (e.g. AMWG's per-draw logσ, src/samplers/AMWG.jl:109).
+        # _fields excludes NamedTuple methods ('count', 'index'); the
+        # dtype check excludes non-array sub-pytrees ('tune').
+        val = getattr(state, name)
+        if hasattr(val, "dtype"):
+            return val
     raise ValueError(f"unknown diagnostic {name!r}")
 
 
@@ -585,19 +589,7 @@ class MCJob:
         states = self._init_states(init_key, x0)
         chain_keys = jax.random.split(run_key, self.n_chains)
 
-        # trace one (un-executed under jit? no — cheap single step) step to
-        # discover info structure; we reuse real step 0 results for shapes
-        # only, via eval_shape to avoid doubling work.
-        def first_info(states):
-            _, infos = jax.vmap(
-                lambda k, s: self.sampler.step(jax.random.fold_in(k, 0), s, self.target)
-            )(chain_keys, states)
-            return infos
-
-        infos_shape = jax.eval_shape(first_info, states)
-        example_info = jax.tree.map(
-            lambda sd: jnp.zeros(sd.shape, sd.dtype), infos_shape
-        )
+        example_info = self._example_info(states, chain_keys)
         if self.destination == "nstate" or self._buffered_csv:
             buffers = self._alloc_buffers(states, example_info)
         else:
@@ -690,14 +682,7 @@ class MCJob:
         self._open_writer()
         self._checkin(x0)
         run_jit = self._run_jit
-        if self.mesh is not None:
-            x0 = jnp.asarray(x0)
-            if x0.ndim < 1 or x0.shape[0] != self.n_chains:
-                x0 = jnp.broadcast_to(x0, (self.n_chains,) + x0.shape)
-            sharding = NamedSharding(
-                self.mesh, P(self.chains_axis, *([None] * (x0.ndim - 1)))
-            )
-            x0 = jax.device_put(x0, sharding)
+        x0 = self._shard_x0(x0)
         chain = run_jit(key, x0)
         chain = self._finish_output(chain)
         return self._squeeze(chain)
@@ -739,14 +724,7 @@ class MCJob:
             )
         key, x0 = self._prepare_x0(key, x0)
         self._checkin(x0)
-        if self.mesh is not None:
-            x0 = jnp.asarray(x0)
-            if x0.ndim < 1 or x0.shape[0] != self.n_chains:
-                x0 = jnp.broadcast_to(x0, (self.n_chains,) + x0.shape)
-            sharding = NamedSharding(
-                self.mesh, P(self.chains_axis, *([None] * (x0.ndim - 1)))
-            )
-            x0 = jax.device_put(x0, sharding)
+        x0 = self._shard_x0(x0)
 
         if self._warm_jit is None:
             self._warm_jit = jax.jit(self._warmup_phase)
@@ -782,15 +760,7 @@ class MCJob:
         return states, chain_keys
 
     def _sampling_phase(self, states, chain_keys):
-        infos_shape = jax.eval_shape(
-            lambda s: jax.vmap(
-                lambda k, st: self.sampler.step(k, st, self.target)
-            )(chain_keys, s)[1],
-            states,
-        )
-        example_info = jax.tree.map(
-            lambda sd: jnp.zeros(sd.shape, sd.dtype), infos_shape
-        )
+        example_info = self._example_info(states, chain_keys)
         if self.destination == "nstate":
             buffers = self._alloc_buffers(states, example_info)
         else:
@@ -873,6 +843,32 @@ class MCJob:
             self._lift_target()
             x0 = x0[..., None]
         return key, x0
+
+    def _shard_x0(self, x0):
+        """Broadcast x0 to the chains axis and lay it out on the mesh
+        (chains sharded, trailing dims replicated).  No-op without a mesh."""
+        if self.mesh is None:
+            return x0
+        x0 = jnp.asarray(x0)
+        if x0.ndim < 1 or x0.shape[0] != self.n_chains:
+            x0 = jnp.broadcast_to(x0, (self.n_chains,) + x0.shape)
+        sharding = NamedSharding(
+            self.mesh, P(self.chains_axis, *([None] * (x0.ndim - 1)))
+        )
+        return jax.device_put(x0, sharding)
+
+    def _example_info(self, states, chain_keys):
+        """Zero-filled Info pytree with the step kernel's output structure,
+        discovered via eval_shape (no compute traced into the program)."""
+        infos_shape = jax.eval_shape(
+            lambda s: jax.vmap(
+                lambda k, st: self.sampler.step(k, st, self.target)
+            )(chain_keys, s)[1],
+            states,
+        )
+        return jax.tree.map(
+            lambda sd: jnp.zeros(sd.shape, sd.dtype), infos_shape
+        )
 
     def _lift_target(self):
         if getattr(self, "_lifted", False):
@@ -973,15 +969,7 @@ class MCJob:
 
     def _resume_run(self, key, chain: Chain) -> Chain:
         def _resumed(states, chain_keys):
-            infos_shape = jax.eval_shape(
-                lambda s: jax.vmap(
-                    lambda k, st: self.sampler.step(k, st, self.target)
-                )(chain_keys, s)[1],
-                states,
-            )
-            example_info = jax.tree.map(
-                lambda sd: jnp.zeros(sd.shape, sd.dtype), infos_shape
-            )
+            example_info = self._example_info(states, chain_keys)
             if self.destination == "nstate" or self._buffered_csv:
                 buffers = self._alloc_buffers(states, example_info)
             else:

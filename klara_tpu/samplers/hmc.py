@@ -77,6 +77,12 @@ class HMC(Sampler):
     # (Hoffman, Radul & Sountsov 2021).  'chain': independent per-chain
     # draws (inside the kernel) — decorrelates trajectory lengths across
     # chains at the cost of batch-max execution.
+    #
+    # NOTE: the shared draw needs one key common to all chains, which only
+    # the MCJob driver has (it zeroes the kernel's jitter and applies one
+    # draw outside the vmap).  Standalone kernel use — direct step() calls
+    # or a Gibbs-nested HMC, where every chain carries its own key —
+    # necessarily falls back to per-chain ('chain') draws.
     jitter_style: str = "step"
 
     tuner_statistic = "accept_stat"

@@ -137,9 +137,14 @@ class NUTS(Sampler):
         Returns (z_end, candidate, n', s', a', na', divergent')."""
         nbits = self.max_doublings + 2
         f = z_start.position.dtype
+        # 0-d (scalar) positions: lift to (1,) for the (S, D) checkpoint
+        # math below; identity (and hence trace-identical) for >=1-d
+        _lift = (lambda t: t[None]) if z_start.position.ndim == 0 else (lambda t: t)
 
         n_leaves = jnp.left_shift(jnp.int32(1), depth)
-        ckpt_pos = jnp.zeros((self.max_doublings + 1,) + z_start.position.shape, f)
+        ckpt_pos = jnp.zeros(
+            (self.max_doublings + 1,) + _lift(z_start.position).shape, f
+        )
         ckpt_mom = jnp.zeros_like(ckpt_pos)
 
         cand0 = _Candidate(z_start.position, z_start.logtarget, z_start.gradlogtarget)
@@ -180,15 +185,16 @@ class NUTS(Sampler):
             is_even = (k % 2) == 0
             slot = jnp.clip(_popcount(k, nbits), 0, self.max_doublings)
             write = (jnp.arange(cp.shape[0]) == slot) & is_even   # (S,)
-            cp = jnp.where(write[:, None], z.position[None, :], cp)
-            cm = jnp.where(write[:, None], z.momentum[None, :], cm)
+            p1, m1, im1 = _lift(z.position), _lift(z.momentum), _lift(inv_mass)
+            cp = jnp.where(write[:, None], p1[None, :], cp)
+            cm = jnp.where(write[:, None], m1[None, :], cm)
 
             # u-turn criterion of the current point against EVERY stored
             # checkpoint at once (reference NUTS.jl:392-396 per pair):
             # d = v*(z - cp[s]);  turn_s = d.(M^-1 p_z) < 0 or d.(M^-1 cm[s]) < 0
-            d_all = v * (z.position[None, :] - cp)                # (S, D)
-            dot_hi = d_all @ (inv_mass * z.momentum)              # (S,)
-            dot_lo = jnp.sum(d_all * (inv_mass[None, :] * cm), axis=-1)
+            d_all = v * (p1[None, :] - cp)                        # (S, D)
+            dot_hi = d_all @ (im1 * m1)                           # (S,)
+            dot_lo = jnp.sum(d_all * (im1[None, :] * cm), axis=-1)
             turned_all = (dot_hi < 0.0) | (dot_lo < 0.0)          # (S,)
 
             turned = jnp.asarray(False)

@@ -104,3 +104,43 @@ def test_nuts_hard_target_anisotropic():
     np.testing.assert_allclose(sd, np.asarray(scales), rtol=0.25)
     # long trajectories needed for the wide direction
     assert float(jnp.mean(chain["ndoublings"])) > 2.0
+
+
+def test_nuts_standalone_scalar_position():
+    """Direct kernel use on a 0-d (scalar) position — no MCJob auto-lift.
+
+    Regression: the one-hot checkpoint rewrite indexed z.position[None, :],
+    which crashes for 0-d; the subtree builder now lifts scalars to (1,)
+    for the checkpoint math only."""
+    target = kt.Target(logdensity_fn=lambda x: -0.5 * x**2)
+    sampler = kt.NUTS(leapstep=0.5)
+    state = sampler.init(jax.random.key(0), target, jnp.asarray(0.5),
+                         step_size=0.5)
+    assert state.position.ndim == 0
+
+    def body(carry, k):
+        st, _ = carry
+        st, info = sampler.step(k, st, target)
+        return (st, info.accept), st.position
+
+    keys = jax.random.split(jax.random.key(1), 500)
+    (state, _), draws = jax.lax.scan(body, (state, jnp.asarray(True)), keys)
+    assert draws.shape == (500,)
+    # N(0,1) target: crude moment check on the single scalar chain
+    assert abs(float(draws[100:].mean())) < 0.3
+    assert abs(float(draws[100:].std()) - 1.0) < 0.3
+
+
+def test_unknown_diagnostic_rejected_with_clear_error():
+    """State-field diagnostics must match ARRAY fields only: NamedTuple
+    methods ('count') and sub-pytrees ('tune') raise the explicit
+    unknown-diagnostic ValueError, not an opaque tracing TypeError."""
+    target = corr_normal_target()
+    for bad in ("count", "index", "tune", "no_such_diag"):
+        job = kt.MCJob(
+            target, kt.HMC(leapstep=0.5, nleaps=4),
+            kt.MCRange(n_steps=10, burnin=0),
+            n_chains=2, diagnostics=(bad,),
+        )
+        with pytest.raises(ValueError, match="unknown diagnostic"):
+            job.run(jax.random.key(0), jnp.zeros(2))
