@@ -48,7 +48,14 @@ detail.scaling: chain-scaling efficiency from benchmarks/scaling.py with
 a falsifiable marginal gate (no mesh size may be >20% slower than the
 previous size).
 
-Prints exactly one JSON line.
+Timeout-proofing (the round-3 lesson): the cumulative headline JSON line
+is RE-EMITTED after every completed case — the driver parses the LAST
+JSON line on stdout, so a mid-run kill still yields a parsed artifact
+with every case completed so far.  A global wall budget
+(``--wall-budget`` / env ``BENCH_WALL_BUDGET_S``, default 3300s) bounds
+the whole run: per-case timeouts shrink to the remaining budget and
+cases that no longer fit are recorded as skipped.  SIGTERM re-emits the
+current cumulative line before exiting.
 """
 
 from __future__ import annotations
@@ -57,6 +64,7 @@ import argparse
 import contextlib
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -65,11 +73,20 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 DIM = 100
 N_DATA = 1024
 LAMBDA = 1.9  # HMC trajectory length (see benchmarks/lambda_probe notes)
-N_STEPS = 700
-BURNIN = 300
 PEAK_BF16 = 197e12  # TPU v5e peak bf16 MXU FLOP/s
-CHAIN_SWEEP = (2048, 4096, 8192, 16384)
-NUTS_ATTEMPTS = ((16384, 5), (8192, 5), (4096, 5), (1024, 5))
+
+# Case sizes are env-overridable so the interruption self-test can drive
+# the REAL parent orchestration at toy scale on CPU (tests/test_bench_smoke).
+N_STEPS = int(os.environ.get("BENCH_STEPS", 700))
+BURNIN = int(os.environ.get("BENCH_BURNIN", 300))
+HEADLINE_CHAINS = int(os.environ.get("BENCH_HEADLINE_CHAINS", 16384))
+CHAIN_SWEEP = tuple(
+    int(s) for s in os.environ.get("BENCH_SWEEP", "2048,4096,8192,16384").split(",")
+)
+NUTS_ATTEMPTS = tuple(
+    (int(s), 5) for s in os.environ.get(
+        "BENCH_NUTS_CHAINS", "16384,8192,4096,1024").split(",")
+)
 
 
 def _child_env():
@@ -201,13 +218,21 @@ def run_case(case, n_chains, n_steps, burnin, lam, max_doublings, precision):
 # parent mode: orchestrate cases in isolated subprocesses
 # ======================================================================
 
-def run_case_isolated(case, n_chains, timeout=2700, lam=LAMBDA,
+# stderr substrings that indicate a transient tunnel/backend fault a
+# FRESH subprocess (fresh TPU client) can plausibly clear — seen in
+# BENCH_r02 as UNAVAILABLE on a healthy chip.  Deterministic failures
+# (script bug, compile OOM) are NOT retried (ADVICE r03).
+_TRANSIENT = ("UNAVAILABLE", "DEADLINE_EXCEEDED", "Socket closed",
+              "failed to connect", "Connection reset")
+
+
+def run_case_isolated(case, n_chains, timeout=2400, lam=LAMBDA,
                       n_steps=N_STEPS, burnin=BURNIN, max_doublings=5,
                       precision="default", retries=1):
-    """Run one case in a fresh subprocess; on failure, retry `retries`
-    times in ANOTHER fresh subprocess.  The tunneled backend sporadically
-    returns UNAVAILABLE on a healthy chip (seen in BENCH_r02), and a fresh
-    process gets a fresh TPU client — an in-process retry would not."""
+    """Run one case in a fresh subprocess; on a TRANSIENT failure, retry
+    `retries` times in ANOTHER fresh subprocess (fresh TPU client).
+    Timeouts and deterministic failures are not retried — against a
+    global wall budget a retry only doubles the loss."""
     cmd = [
         sys.executable, os.path.abspath(__file__),
         "--case", case, "--chains", str(n_chains), "--lam", str(lam),
@@ -233,7 +258,10 @@ def run_case_isolated(case, n_chains, timeout=2700, lam=LAMBDA,
             for line in reversed(stdout.strip().splitlines()):
                 line = line.strip()
                 if line.startswith("{"):
-                    return json.loads(line)
+                    try:
+                        return json.loads(line)
+                    except json.JSONDecodeError:
+                        continue  # truncated/interleaved line; keep scanning
             err = (stderr or stdout or "no output").strip()[-400:]
         else:
             # keep the child's partial progress lines: they say which leg
@@ -243,6 +271,9 @@ def run_case_isolated(case, n_chains, timeout=2700, lam=LAMBDA,
                    f"(wall {time.perf_counter()-t0:.0f}s; last: {last[-160:]})")
         print(f"# case {case} x{n_chains} attempt {attempt+1} FAILED: "
               f"{err[-220:]}", file=sys.stderr, flush=True)
+        transient = out is not None and any(s in (stderr + stdout) for s in _TRANSIENT)
+        if not transient:
+            break
     return {"sampler": case, "n_chains": n_chains, "ess_per_sec": 0.0,
             "error": err}
 
@@ -267,73 +298,172 @@ def scaling_table(timeout=900):
         return {"error": str(e)}
 
 
-def main():
+class Emitter:
+    """Accumulates case results and re-emits the CUMULATIVE headline JSON
+    line after every completed case.  The driver parses the last JSON
+    line on stdout, so a kill at any point still yields everything
+    completed so far (the round-3 lesson: one line at the end = total
+    evidence loss on timeout)."""
+
+    def __init__(self, wall_budget):
+        self.t0 = time.perf_counter()
+        self.wall_budget = wall_budget
+        self.detail = {}
+        self.base = None
+
+    def remaining(self):
+        return self.wall_budget - (time.perf_counter() - self.t0)
+
+    def case_timeout(self, want):
+        # leave 60s of slack so the final emission always happens
+        return max(60, min(want, int(self.remaining() - 60)))
+
+    def fits(self, min_secs=180):
+        return self.remaining() > min_secs
+
+    def record(self, slot, result, emit=True):
+        self.detail[slot] = result
+        if emit:
+            self.emit()
+
+    def skip(self, slot, why="wall budget exhausted"):
+        self.detail[slot] = {"skipped": True, "reason": why}
+        print(f"# case {slot} SKIPPED: {why}", file=sys.stderr, flush=True)
+
+    def emit(self):
+        candidates = [
+            r for k in ("hmc", "hmc_high", "hmc_chees", "nuts")
+            for r in [self.detail.get(k)]
+            if isinstance(r, dict) and r.get("ess_per_sec", 0) > 0
+        ]
+        sweep = [r for r in self.detail.get("hmc_sweep", [])
+                 if isinstance(r, dict) and r.get("ess_per_sec", 0) > 0]
+        candidates += sweep
+        if not candidates:  # nothing real yet; emit a parseable zero row
+            best = {"sampler": "none", "ess_per_sec": 0.0}
+        else:
+            best = max(candidates, key=lambda r: r["ess_per_sec"])
+        base_ess = (self.base or {}).get("ess_per_sec", 0.0)
+        out = {
+            "metric": "effective_samples_per_sec_per_chip",
+            "value": round(best["ess_per_sec"], 2),
+            "unit": (
+                f"ESS/s (min over {DIM} dims, {best['sampler'].upper()} "
+                f"{DIM}-dim logreg, {best.get('n_chains', '?')} chains, "
+                f"{best.get('precision', 'default')} matmul precision, "
+                "sampling phase; tuned warmup timed separately)"
+            ),
+            "vs_baseline": round(best["ess_per_sec"] / base_ess, 2)
+            if base_ess
+            else 0.0,
+            "elapsed_seconds": round(time.perf_counter() - self.t0, 1),
+            "detail": dict(self.detail, single_chain_baseline=self.base),
+        }
+        print(json.dumps(out), flush=True)
+
+
+def main(wall_budget):
+    em = Emitter(wall_budget)
+
+    def _sigterm(signum, frame):
+        print(f"# SIGTERM at {time.perf_counter()-em.t0:.0f}s; re-emitting",
+              file=sys.stderr, flush=True)
+        em.emit()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _sigterm)
+
     # 1. the reference's execution model: ONE chain, timed first so no
     #    later fault can cost us the baseline
-    base = run_case_isolated("baseline", n_chains=1)
+    em.base = run_case_isolated("baseline", n_chains=1,
+                                timeout=em.case_timeout(2400))
+    em.emit()
 
-    # 2. chain-count sweep for fixed-trajectory HMC: the headline chain
-    #    count is MEASURED, not assumed
-    sweep = [run_case_isolated("hmc", n) for n in CHAIN_SWEEP]
-    ok_sweep = [r for r in sweep if r["ess_per_sec"] > 0]
-    best_hmc = max(ok_sweep, key=lambda r: r["ess_per_sec"]) if ok_sweep else sweep[-1]
-    best_n = best_hmc.get("n_chains", CHAIN_SWEEP[-1])
+    # 2. headline candidates FIRST (best-known config from r02/r03:
+    #    16k chains; 'high' = three-pass bf16 recovers the f32 step size
+    #    at a fraction of f32 matmul cost — see precision note above)
+    if em.fits():
+        em.record("hmc", run_case_isolated("hmc", HEADLINE_CHAINS,
+                                           timeout=em.case_timeout(2400)))
+    else:
+        em.skip("hmc")
+    if em.fits():
+        em.record("hmc_high",
+                  run_case_isolated("hmc", HEADLINE_CHAINS, precision="high",
+                                    timeout=em.case_timeout(2400)))
+    else:
+        em.skip("hmc_high")
 
-    # 3. precision rows at the best chain count.  MEASURED on v5e: the
-    #    default bf16 MXU passes leave bf16-level noise in the log-density,
-    #    which inflates |dH| and makes dual averaging halve the step size
-    #    (eps 0.094 vs 0.187); 'high' (three bf16 passes ~ f32 accuracy)
-    #    recovers the f32 step at a fraction of f32 matmul cost and WINS
-    #    end-to-end (+15% ESS/s over default, f32 itself is 24% slower).
-    high = run_case_isolated("hmc", best_n, precision="high")
-    f32 = run_case_isolated("hmc", best_n, precision="f32")
-
-    # 4. ChEES-adapted trajectory at the best chain count
-    chees = run_case_isolated("chees", best_n)
-
-    # 5. NUTS at the largest scale that runs (descending attempts);
-    #    riskiest case LAST — its compile is the heaviest program
+    # 3. NUTS next (VERDICT r03: must land before optional rows);
+    #    descending-size ladder IS the retry mechanism
     nuts = None
     for n, md in NUTS_ATTEMPTS:
-        # the descending-size ladder IS the retry mechanism here
-        nuts = run_case_isolated("nuts", n, max_doublings=md, retries=0)
+        if not em.fits():
+            break
+        nuts = run_case_isolated("nuts", n, max_doublings=md, retries=0,
+                                 timeout=em.case_timeout(2400))
+        em.record("nuts", nuts)
         if nuts["ess_per_sec"] > 0:
             break
+    if nuts is None:
+        em.skip("nuts")
 
-    # 6. virtual-mesh scaling table (falsifiable marginal gate)
-    scaling = scaling_table()
+    # 4. chain-count sweep for fixed-trajectory HMC (warm-cached sizes):
+    #    the headline chain count is MEASURED, not assumed
+    sweep = []
+    for n in CHAIN_SWEEP:
+        if n == HEADLINE_CHAINS and isinstance(em.detail.get("hmc"), dict) \
+                and em.detail["hmc"].get("ess_per_sec", 0) > 0:
+            sweep.append(em.detail["hmc"])
+            continue
+        if not em.fits():
+            break
+        sweep.append(run_case_isolated("hmc", n,
+                                       timeout=em.case_timeout(1800)))
+        em.record("hmc_sweep", sweep)
+    ok_sweep = [r for r in sweep if r.get("ess_per_sec", 0) > 0]
+    if ok_sweep:
+        best_hmc = max(ok_sweep, key=lambda r: r["ess_per_sec"])
+        em.record("hmc", best_hmc, emit=False)
+        best_n = best_hmc.get("n_chains", HEADLINE_CHAINS)
+    else:
+        best_n = HEADLINE_CHAINS
+    em.emit()
 
-    candidates = [best_hmc, high, chees, nuts]
-    best = max(candidates, key=lambda r: r["ess_per_sec"])
-    base_ess = base.get("ess_per_sec", 0.0) or float("nan")
+    # 5. ChEES-adapted trajectory at the best chain count (prove-or-demote
+    #    row, VERDICT r03 #4)
+    if em.fits():
+        em.record("hmc_chees", run_case_isolated("chees", best_n,
+                                                 timeout=em.case_timeout(1800)))
+    else:
+        em.skip("hmc_chees")
 
-    print(
-        json.dumps(
-            {
-                "metric": "effective_samples_per_sec_per_chip",
-                "value": round(best["ess_per_sec"], 2),
-                "unit": (
-                    f"ESS/s (min over {DIM} dims, {best['sampler'].upper()} "
-                    f"{DIM}-dim logreg, {best.get('n_chains', '?')} chains, "
-                    f"{best.get('precision', 'default')} matmul precision, "
-                    "sampling phase; tuned warmup timed separately)"
-                ),
-                "vs_baseline": round(best["ess_per_sec"] / base_ess, 2)
-                if base_ess
-                else float("nan"),
-                "detail": {
-                    "single_chain_baseline": base,
-                    "hmc_sweep": sweep,
-                    "hmc": best_hmc,
-                    "hmc_high": high,
-                    "hmc_f32": f32,
-                    "hmc_chees": chees,
-                    "nuts": nuts,
-                    "scaling": scaling,
-                },
-            }
-        )
-    )
+    # 6. f32 precision reference row
+    if em.fits():
+        em.record("hmc_f32",
+                  run_case_isolated("hmc", best_n, precision="f32",
+                                    timeout=em.case_timeout(1800)))
+    else:
+        em.skip("hmc_f32")
+
+    # 7. virtual-mesh scaling table — correctness canary on a host-CPU
+    #    proxy mesh (it cannot exhibit ICI latency; the BASELINE >=80%
+    #    multi-chip claim lives in the multichip dryrun, not here)
+    scaling = scaling_table(timeout=em.case_timeout(900))
+    if isinstance(scaling, dict):
+        scaling["proxy"] = "host-CPU virtual mesh (no ICI); correctness canary only"
+    em.record("scaling", scaling, emit=False)
+
+    # 8. examples-on-TPU acceptance artifact, if a prior run recorded one
+    ex_path = os.path.join(REPO, "EXAMPLES_TPU.json")
+    if os.path.exists(ex_path):
+        try:
+            with open(ex_path) as f:
+                em.record("examples_tpu", json.load(f), emit=False)
+        except Exception:
+            pass
+
+    em.emit()
 
 
 if __name__ == "__main__":
@@ -346,9 +476,11 @@ if __name__ == "__main__":
     ap.add_argument("--burnin", type=int, default=BURNIN)
     ap.add_argument("--max-doublings", type=int, default=5)
     ap.add_argument("--precision", default="default", choices=["default", "high", "f32"])
+    ap.add_argument("--wall-budget", type=float,
+                    default=float(os.environ.get("BENCH_WALL_BUDGET_S", 3300)))
     args = ap.parse_args()
     if args.case is None:
-        main()
+        main(args.wall_budget)
     else:
         sys.path.insert(0, REPO)
         result = run_case(args.case, args.chains, args.steps, args.burnin,

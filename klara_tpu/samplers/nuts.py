@@ -97,8 +97,9 @@ def _turn(pos_hi, mom_hi, pos_lo, mom_lo, v, inv_mass):
     d = (θ₊ − θ₋) with chronological orientation restored via v.  With a
     diagonal mass matrix the criterion uses velocities M⁻¹p."""
     d = v * (pos_hi - pos_lo)
-    return (jnp.dot(d, inv_mass * mom_hi) < 0.0) | (
-        jnp.dot(d, inv_mass * mom_lo) < 0.0
+    # sum-contraction (not jnp.dot) so rank>=2 positions work unflattened
+    return (jnp.sum(d * (inv_mass * mom_hi)) < 0.0) | (
+        jnp.sum(d * (inv_mass * mom_lo)) < 0.0
     )
 
 
@@ -137,9 +138,15 @@ class NUTS(Sampler):
         Returns (z_end, candidate, n', s', a', na', divergent')."""
         nbits = self.max_doublings + 2
         f = z_start.position.dtype
-        # 0-d (scalar) positions: lift to (1,) for the (S, D) checkpoint
-        # math below; identity (and hence trace-identical) for >=1-d
-        _lift = (lambda t: t[None]) if z_start.position.ndim == 0 else (lambda t: t)
+        # the (S, D) checkpoint math below assumes rank-1 positions: lift
+        # 0-d to (1,) and FLATTEN rank>=2 to 1-d (the u-turn dot products
+        # sum over all elements, so flattening is mathematically identical);
+        # identity (and hence trace-identical) for the common 1-d case
+        _lift = (
+            (lambda t: t)
+            if z_start.position.ndim == 1
+            else (lambda t: t.reshape(-1))
+        )
 
         n_leaves = jnp.left_shift(jnp.int32(1), depth)
         ckpt_pos = jnp.zeros(

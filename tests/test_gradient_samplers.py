@@ -131,6 +131,31 @@ def test_nuts_standalone_scalar_position():
     assert abs(float(draws[100:].std()) - 1.0) < 0.3
 
 
+
+def test_nuts_standalone_matrix_position():
+    """Direct kernel use on a rank-2 (matrix) position.
+
+    Regression (ADVICE r03): the one-hot checkpoint stack assumed exactly
+    rank-1 positions; rank>=2 is now flattened for the checkpoint math
+    (the u-turn dot products sum over all elements, so this is exact)."""
+    target = kt.Target(logdensity_fn=lambda x: -0.5 * jnp.sum(x**2))
+    sampler = kt.NUTS(leapstep=0.5)
+    x0 = jnp.zeros((2, 3)) + 0.5
+    state = sampler.init(jax.random.key(0), target, x0, step_size=0.5)
+    assert state.position.shape == (2, 3)
+
+    def body(carry, k):
+        st = carry
+        st, info = sampler.step(k, st, target)
+        return st, st.position
+
+    keys = jax.random.split(jax.random.key(1), 500)
+    state, draws = jax.lax.scan(body, state, keys)
+    assert draws.shape == (500, 2, 3)
+    flat = np.asarray(draws[100:]).reshape(-1, 6)
+    assert np.all(np.abs(flat.mean(axis=0)) < 0.35)
+    assert np.all(np.abs(flat.std(axis=0) - 1.0) < 0.35)
+
 def test_unknown_diagnostic_rejected_with_clear_error():
     """State-field diagnostics must match ARRAY fields only: NamedTuple
     methods ('count') and sub-pytrees ('tune') raise the explicit
