@@ -174,7 +174,47 @@ class GibbsJob:
         self._run_jit = jax.jit(self._run, static_argnames=("prebatched",))
 
     # ---------------------------------------------------------------- sweep
-    def _block_update(self, var, values: Dict[str, Any], key):
+    def _needs_step_hoist(self, spec: Nested) -> bool:
+        """True when ``spec.sampler.init`` would embed the Alg-4
+        find_reasonable_step_size while_loop: HMC/NUTS under dual
+        averaging with no explicit step size.  Re-running that search
+        every sweep inside the compiled scan is pure hot-loop waste — the
+        reference's nested-job reset (BasicGibbsJob.jl:158-168) performs
+        no such search — so GibbsJob hoists it to once per run."""
+        import os
+
+        from klara_tpu.samplers.hmc import HMC
+        from klara_tpu.samplers.nuts import NUTS
+        from klara_tpu.tuners.tuners import DualAveragingTuner
+
+        if os.environ.get("KLARA_GIBBS_NO_HOIST"):  # probe escape hatch
+            return False
+        return (
+            spec.step_size is None
+            and isinstance(spec.sampler, (HMC, NUTS))
+            and isinstance(spec.tuner, DualAveragingTuner)
+        )
+
+    def _hoist_step_sizes(self, chain_key, values: Dict[str, Any]):
+        """Per-chain reasonable step sizes for nested blocks, computed
+        ONCE per run against the initial conditionals (outside the sweep
+        scan) and reused by every sweep's ``init``."""
+        from klara_tpu.samplers.hamiltonian import find_reasonable_step_size
+
+        out = {}
+        for idx, (hk, spec) in enumerate(sorted(self.sweep.items())):
+            if not self._needs_step_hoist(spec):
+                continue
+            var = self.model[hk]
+            frozen = dict(values)
+            target = Target(
+                logdensity_fn=lambda x, _v=var, _f=frozen: _v.conditional_logdensity(x, _f)
+            )
+            k = jax.random.fold_in(jax.random.fold_in(chain_key, 0x5EED), idx)
+            out[hk] = find_reasonable_step_size(k, target, values[hk])
+        return out
+
+    def _block_update(self, var, values: Dict[str, Any], key, hoisted):
         """One block of the sweep — returns (new value, diag dict)."""
         if isinstance(var, Transformation):
             return var.transform(values), {}
@@ -195,8 +235,11 @@ class GibbsJob:
             target = Target(
                 logdensity_fn=lambda x: var.conditional_logdensity(x, frozen)
             )
+            step_size = spec.step_size
+            if step_size is None and var.key in hoisted:
+                step_size = hoisted[var.key]  # once-per-run Alg-4 result
             state = spec.sampler.init(
-                k_init, target, x0, step_size=spec.step_size, tuner=spec.tuner
+                k_init, target, x0, step_size=step_size, tuner=spec.tuner
             )
 
             def body(i, carry):
@@ -237,7 +280,7 @@ class GibbsJob:
         )
         return new, {}
 
-    def _sweep_fn(self, chain_key, values, i):
+    def _sweep_fn(self, chain_key, values, i, hoisted):
         """One full sweep; returns (updated carried values, diagnostics)."""
         diags = {}
         values = dict(values)
@@ -248,7 +291,9 @@ class GibbsJob:
                 jax.random.fold_in(chain_key, i), b
             )
             values = dict(values)
-            values[var.key], d = self._block_update(var, values, block_key)
+            values[var.key], d = self._block_update(
+                var, values, block_key, hoisted
+            )
             diags.update(d)
         return {k: values[k] for k in self._carry_keys()}, diags
 
@@ -297,11 +342,19 @@ class GibbsJob:
             k: jnp.zeros((n_post, self.n_chains), jnp.float32) for k in diag_keys
         }
 
+        # nested-block Alg-4 step-size searches run ONCE per run, here,
+        # outside the sweep scan (hoisted out of the hot loop)
+        hoisted0 = jax.vmap(
+            lambda ck, dyn: self._hoist_step_sizes(ck, {**static_vals, **dyn})
+        )(chain_keys, values0)
+
         def scan_body(carry, i):
             values, buffers, diag_buffers = carry
             values, diags = jax.vmap(
-                lambda ck, dyn: self._sweep_fn(ck, {**static_vals, **dyn}, i)
-            )(chain_keys, values)
+                lambda ck, dyn, hs: self._sweep_fn(
+                    ck, {**static_vals, **dyn}, i, hs
+                )
+            )(chain_keys, values, hoisted0)
 
             save_idx = (i - burnin) // thinning
             do_save = (i >= burnin) & ((i - burnin) % thinning == 0)
