@@ -9,10 +9,16 @@ Poisson (discrete support), Student-t, bivariate-normal Gibbs, and the
 rats hierarchical model.
 
 Usage: python examples/run_examples.py [--cpu] [--only SUBSTR]
+                                       [--record PATH]
+
+``--record`` writes a JSON artifact {platform, passed, total, failed,
+seconds} — used to record the on-TPU acceptance run (EXAMPLES_TPU.json,
+merged into the bench detail).
 """
 
 import argparse
 import importlib
+import json
 import os
 import sys
 import time
@@ -46,6 +52,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true", help="run on the CPU platform")
     ap.add_argument("--only", default=None, help="substring filter")
+    ap.add_argument("--record", default=None,
+                    help="write a JSON result artifact to this path")
     args = ap.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -61,6 +69,7 @@ def main():
     names = [n for n in registry if args.only is None or args.only in n]
     print(f"{len(names)} examples")
     failed = []
+    t_suite = time.perf_counter()
     for i, name in enumerate(names, 1):
         print(f"===== [{i}/{len(names)}] {name} =====", flush=True)
         t0 = time.perf_counter()
@@ -70,6 +79,22 @@ def main():
         except AssertionError as e:
             failed.append(name)
             print(f"----- {name}: FAILED {e}", flush=True)
+    if args.record:
+        import jax
+
+        with open(args.record, "w") as f:
+            json.dump(
+                {
+                    "platform": jax.default_backend(),
+                    "device": str(jax.devices()[0]),
+                    "passed": len(names) - len(failed),
+                    "total": len(names),
+                    "failed": failed,
+                    "seconds": round(time.perf_counter() - t_suite, 1),
+                },
+                f,
+            )
+        print(f"recorded {args.record}")
     if failed:
         print(f"FAILED: {failed}")
         sys.exit(1)
