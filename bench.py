@@ -39,6 +39,14 @@ MXU passes leave bf16-level noise in the log-density, which inflates
 recovers the f32 step at a fraction of f32 matmul cost and wins
 end-to-end, so it is included in the headline candidates.
 
+ChEES precision interaction (measured r04, v5e, 16k chains): at default
+bf16 the halved step size doubles the leap count of ChEES's long
+adapted trajectories (lambda -> 5.3, eps 0.040): 193k ESS/s, losing to
+fixed-lambda hmc_high's 250k.  At 'high' precision the full step comes
+back (eps 0.181), ChEES adapts lambda -> 12.6 and reaches ESS/draw 0.55
+(~every other draw independent): 564k ESS/s, 2.25x hmc_high.  So
+chees_high is the headline config and runs right after the hmc rows.
+
 vs_baseline: the reference (Klara.jl) publishes no numbers and runs ONE
 chain at a time, single-threaded (src/jobs/jobs.jl:212).  The recorded
 baseline is this framework's own single-chain sampling throughput on the
@@ -332,7 +340,7 @@ class Emitter:
 
     def emit(self):
         candidates = [
-            r for k in ("hmc", "hmc_high", "hmc_chees", "nuts")
+            r for k in ("hmc", "hmc_high", "chees_high", "hmc_chees", "nuts")
             for r in [self.detail.get(k)]
             if isinstance(r, dict) and r.get("ess_per_sec", 0) > 0
         ]
@@ -393,6 +401,14 @@ def main(wall_budget):
                                     timeout=em.case_timeout(2400)))
     else:
         em.skip("hmc_high")
+    # ChEES at 'high' precision is the measured-best config (564k ESS/s
+    # vs hmc_high's 250k on v5e, r04) — see the precision note above
+    if em.fits():
+        em.record("chees_high",
+                  run_case_isolated("chees", HEADLINE_CHAINS, precision="high",
+                                    timeout=em.case_timeout(2400)))
+    else:
+        em.skip("chees_high")
 
     # 3. NUTS next (VERDICT r03: must land before optional rows);
     #    descending-size ladder IS the retry mechanism
