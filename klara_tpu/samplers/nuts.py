@@ -37,6 +37,24 @@ leaves with
 Per-chain trajectory lengths diverge; under `vmap` each while_loop runs
 to the batch maximum — the correct SIMD execution model on TPU (all
 lanes retire when the slowest chain's tree terminates).
+
+Two tree implementations, selected by ``tree_impl``:
+
+  * ``'static'`` (default for max_doublings <= 6): the doubling loop and
+    every subtree are **unrolled in Python** into one straight-line
+    program of 2^max_doublings - 1 leapfrogs.  An ``alive`` mask threads
+    through the leaves in visit order, exactly reproducing the looped
+    semantics (leaves after a divergence/u-turn stop contributing);
+    u-turn checks happen at the recursion's merge nodes as plain (D,)
+    dot products on the subtree boundary states.  Measured on v5e at
+    16k chains this is ~4x faster than the looped form: the per-leaf
+    (S, D) checkpoint-stack arithmetic — not the leapfrogs — was 81% of
+    the looped step's wall time, and at large batch the while_loops run
+    to the lockstep maximum anyway, so unrolling loses nothing.
+  * ``'looped'``: the while_loop + checkpoint-stack form described
+    above — compact compile for deep trees (max_doublings > 6) and true
+    early exit when ALL chains' trees terminate (relevant at small
+    chain counts).
 """
 
 from __future__ import annotations
@@ -108,8 +126,24 @@ class NUTS(Sampler):
     leapstep: float = 0.1
     maxdelta: float = 1000.0
     max_doublings: int = 5
+    # dtype for the u-turn checkpoint stack carried through the leaf loop
+    # ((S, D) positions+momenta per chain — the dominant while_loop carry
+    # traffic at large chain counts).  'bfloat16' halves that HBM traffic;
+    # the u-turn dot products still reduce in f32.  Stopping decisions may
+    # differ from f32 only when a checkpoint inner product sits within
+    # bf16 rounding of zero — the kernel stays a valid MCMC kernel (the
+    # criterion remains a deterministic function of the evaluated states).
+    # Only used by tree_impl='looped'.
+    ckpt_dtype: str = "float32"
+    # 'static' | 'looped' | 'auto' (see module docstring)
+    tree_impl: str = "auto"
 
     tuner_statistic = "accept_stat"
+
+    def _use_static(self):
+        if self.tree_impl == "auto":
+            return self.max_doublings <= 6
+        return self.tree_impl == "static"
 
     def default_step_size(self):
         return self.leapstep
@@ -149,8 +183,9 @@ class NUTS(Sampler):
         )
 
         n_leaves = jnp.left_shift(jnp.int32(1), depth)
+        cdt = jnp.dtype(self.ckpt_dtype)
         ckpt_pos = jnp.zeros(
-            (self.max_doublings + 1,) + _lift(z_start.position).shape, f
+            (self.max_doublings + 1,) + _lift(z_start.position).shape, cdt
         )
         ckpt_mom = jnp.zeros_like(ckpt_pos)
 
@@ -159,6 +194,13 @@ class NUTS(Sampler):
         def cond(carry):
             k, _, _, _, s, _, _, _, _, _, _ = carry
             return (k < n_leaves) & s
+
+        import os
+
+        # probe-only ablation switches (benchmarks/nuts_ablate_probe):
+        # 'uturn' removes the u-turn math, 'cand' freezes the candidate —
+        # NOT valid samplers, used to attribute per-leaf runtime on chip
+        _ablate = os.environ.get("KLARA_NUTS_ABLATE", "")
 
         def body(carry):
             k, z, cand, n_acc, s, a, na, div, cp, cm, key = carry
@@ -174,11 +216,12 @@ class NUTS(Sampler):
             take = (n_leaf > 0) & (
                 jax.random.uniform(k_take, dtype=f) * denom < n_leaf.astype(f)
             )
-            cand = jax.tree.map(
-                lambda new, old: jnp.where(take, new, old),
-                _Candidate(z.position, z.logtarget, z.gradlogtarget),
-                cand,
-            )
+            if "cand" not in _ablate:
+                cand = jax.tree.map(
+                    lambda new, old: jnp.where(take, new, old),
+                    _Candidate(z.position, z.logtarget, z.gradlogtarget),
+                    cand,
+                )
             n_acc = n_acc + n_leaf
             a = a + jnp.minimum(1.0, jnp.exp(jnp.minimum(h - h0, 0.0)))
             na = na + 1
@@ -193,25 +236,36 @@ class NUTS(Sampler):
             slot = jnp.clip(_popcount(k, nbits), 0, self.max_doublings)
             write = (jnp.arange(cp.shape[0]) == slot) & is_even   # (S,)
             p1, m1, im1 = _lift(z.position), _lift(z.momentum), _lift(inv_mass)
-            cp = jnp.where(write[:, None], p1[None, :], cp)
-            cm = jnp.where(write[:, None], m1[None, :], cm)
+            if "uturn" in _ablate:
+                turned = jnp.asarray(False)
+            else:
+                cp = jnp.where(write[:, None], p1[None, :].astype(cp.dtype), cp)
+                cm = jnp.where(write[:, None], m1[None, :].astype(cm.dtype), cm)
 
-            # u-turn criterion of the current point against EVERY stored
-            # checkpoint at once (reference NUTS.jl:392-396 per pair):
-            # d = v*(z - cp[s]);  turn_s = d.(M^-1 p_z) < 0 or d.(M^-1 cm[s]) < 0
-            d_all = v * (p1[None, :] - cp)                        # (S, D)
-            dot_hi = d_all @ (im1 * m1)                           # (S,)
-            dot_lo = jnp.sum(d_all * (im1[None, :] * cm), axis=-1)
-            turned_all = (dot_hi < 0.0) | (dot_lo < 0.0)          # (S,)
+                # u-turn criterion of the current point against EVERY stored
+                # checkpoint at once (reference NUTS.jl:392-396 per pair):
+                # d = v*(z - cp[s]); turn_s = d.(M^-1 p_z) < 0 or d.(M^-1 cm[s]) < 0
+                # Both dots as VPU multiply+reduce — a dot_general here
+                # becomes a per-chain batched (S,D)@(D,1) matvec under
+                # vmap, which pipelines 16k tiny MXU ops per leaf and
+                # measured as 81% of the whole NUTS step wall time.
+                d_all = v * (p1[None, :] - cp.astype(f))          # (S, D)
+                dot_hi = jnp.sum(d_all * (im1 * m1)[None, :], axis=-1)  # (S,)
+                dot_lo = jnp.sum(d_all * (im1[None, :] * cm.astype(f)), axis=-1)
+                turned_all = (dot_hi < 0.0) | (dot_lo < 0.0)      # (S,)
 
-            turned = jnp.asarray(False)
-            big_m = _trailing_zeros(k + 1, nbits)  # check sizes 2^1..2^big_m
-            for m in range(1, self.max_doublings + 1):
-                active = (~is_even) & (m <= big_m)
-                left = k + 1 - (1 << m)
-                lslot = jnp.clip(_popcount(left, nbits), 0, self.max_doublings)
-                t_m = jnp.any(turned_all & (jnp.arange(cp.shape[0]) == lslot))
-                turned = turned | (active & t_m)
+                turned = jnp.asarray(False)
+                big_m = _trailing_zeros(k + 1, nbits)  # sizes 2^1..2^big_m
+                for m in range(1, self.max_doublings + 1):
+                    active = (~is_even) & (m <= big_m)
+                    left = k + 1 - (1 << m)
+                    lslot = jnp.clip(
+                        _popcount(left, nbits), 0, self.max_doublings
+                    )
+                    t_m = jnp.any(
+                        turned_all & (jnp.arange(cp.shape[0]) == lslot)
+                    )
+                    turned = turned | (active & t_m)
 
             s = s_leaf & ~turned
             div = div | ~s_leaf
@@ -233,8 +287,185 @@ class NUTS(Sampler):
         k, z, cand, n_acc, s, a, na, div, _, _, _ = jax.lax.while_loop(cond, body, init)
         return z, cand, n_acc, s, a, na, div
 
+    # ------------------------------------------------- static (unrolled)
+    def _static_leaf(self, target, k_take, z_prev, v, eps, u, h0, inv_mass, acc):
+        """One leaf, masked by acc['alive'] — contributes to n/cand/a/na/
+        div exactly iff the looped form would have executed it."""
+        f = z_prev.position.dtype
+        z = leapfrog_step(target, z_prev, v * eps, inv_mass)
+        h = hamiltonian(z.logtarget, z.momentum, inv_mass)
+        h = jnp.where(jnp.isnan(h), -jnp.inf, h)
+
+        alive = acc["alive"]
+        n_leaf = ((u <= h) & alive).astype(jnp.int32)
+        s_leaf = u < self.maxdelta + h  # divergence bound (NUTS.jl:421)
+
+        denom = (acc["n"] + n_leaf).astype(f)
+        take = (n_leaf > 0) & (
+            jax.random.uniform(k_take, dtype=f) * denom < n_leaf.astype(f)
+        )
+        cand = jax.tree.map(
+            lambda new, old: jnp.where(take, new, old),
+            _Candidate(z.position, z.logtarget, z.gradlogtarget),
+            acc["cand"],
+        )
+        acc = dict(
+            acc,
+            cand=cand,
+            n=acc["n"] + n_leaf,
+            a=acc["a"]
+            + jnp.where(
+                alive, jnp.minimum(1.0, jnp.exp(jnp.minimum(h - h0, 0.0))), 0.0
+            ),
+            na=acc["na"] + alive.astype(jnp.int32),
+            div=acc["div"] | (alive & ~s_leaf),
+            alive=alive & s_leaf,
+        )
+        return z, z, acc
+
+    def _static_subtree(self, target, key, depth, z_in, v, eps, u, h0, inv_mass, acc):
+        """Unrolled depth-`depth` subtree in direction v.
+
+        Returns (z_start, z_end, acc): the subtree's boundary leaf states
+        (for merge-node u-turn checks) and the threaded accumulator.
+        Merge checks are plain (D,) dot products on those boundaries —
+        the same (left, right) pair set the looped checkpoint stack
+        evaluates, without any (S, D) per-leaf arithmetic."""
+        if depth == 0:
+            return self._static_leaf(
+                target, key, z_in, v, eps, u, h0, inv_mass, acc
+            )
+        k_l, k_r = jax.random.split(key)
+        zs_l, ze_l, acc = self._static_subtree(
+            target, k_l, depth - 1, z_in, v, eps, u, h0, inv_mass, acc
+        )
+        zs_r, ze_r, acc = self._static_subtree(
+            target, k_r, depth - 1, ze_l, v, eps, u, h0, inv_mass, acc
+        )
+        turned = _turn(
+            ze_r.position, ze_r.momentum, zs_l.position, zs_l.momentum, v, inv_mass
+        )
+        acc = dict(acc, alive=acc["alive"] & ~turned)
+        return zs_l, ze_r, acc
+
+    def _step_static(self, key, state: NUTSState, target: Target):
+        """Statically-unrolled NUTS step — same sampler as the looped
+        form (identical contribution semantics via the alive mask), with
+        an independent RNG stream."""
+        k_mom, k_slice, k_loop = jax.random.split(key, 3)
+        x, lt, grad = state.position, state.logtarget, state.gradlogtarget
+        eps = state.tune.step
+        inv_mass = state.inv_mass
+        f = x.dtype
+
+        p0 = sample_momentum(k_mom, x, inv_mass)
+        h0 = hamiltonian(lt, p0, inv_mass)
+        u = jnp.log(jax.random.uniform(k_slice, dtype=f)) + h0
+
+        z0 = PhasePoint(x, p0, lt, grad)
+        z_minus, z_plus = z0, z0
+        acc = {
+            "cand": _Candidate(x, lt, grad),
+            "n": jnp.int32(1),
+            "a": jnp.zeros((), f),
+            "na": jnp.int32(0),
+            "div": jnp.asarray(False),
+            "alive": jnp.asarray(True),
+        }
+        ndoubl = jnp.int32(0)
+        updated = jnp.asarray(False)
+
+        for j in range(self.max_doublings):
+            k_loop, k_v, k_sub, k_swap = jax.random.split(k_loop, 4)
+            entry = acc["alive"]
+            v = jnp.where(jax.random.bernoulli(k_v), 1.0, -1.0).astype(f)
+
+            start = jax.tree.map(
+                lambda m, p: jnp.where(v < 0, m, p), z_minus, z_plus
+            )
+            # the subtree streams its OWN candidate over a subtree-local
+            # count (matching _build_subtree's cand0/n_acc=0), then the
+            # doubling level swaps it in with prob n'/n
+            n_before = acc["n"]
+            cand_before = acc["cand"]
+            acc = dict(
+                acc,
+                n=jnp.int32(0),
+                cand=_Candidate(
+                    start.position, start.logtarget, start.gradlogtarget
+                ),
+            )
+            _, z_end, acc = self._static_subtree(
+                target, k_sub, j, start, v, eps, u, h0, inv_mass, acc
+            )
+            s_p = acc["alive"]  # subtree finished without divergence/u-turn
+            n_p = acc["n"]
+            cand_p = acc["cand"]
+
+            # edges update for every EXECUTED doubling (incl. a failing
+            # one), matching the looped body which runs to completion
+            # before s is re-evaluated
+            z_minus = jax.tree.map(
+                lambda e, old: jnp.where(entry & (v < 0), e, old), z_end, z_minus
+            )
+            z_plus = jax.tree.map(
+                lambda e, old: jnp.where(entry & (v >= 0), e, old), z_end, z_plus
+            )
+
+            # replace proposal with prob n'/n (iterate/NUTS.jl:361)
+            swap = s_p & (
+                jax.random.uniform(k_swap, dtype=f)
+                < n_p.astype(f) / n_before.astype(f)
+            )
+            acc = dict(
+                acc,
+                n=n_before + n_p,
+                cand=jax.tree.map(
+                    lambda new, old: jnp.where(swap, new, old),
+                    cand_p,
+                    cand_before,
+                ),
+            )
+            updated = updated | swap
+            ndoubl = ndoubl + entry.astype(jnp.int32)
+
+            # whole-tree u-turn check (iterate/NUTS.jl:373)
+            whole_turn = _turn(
+                z_plus.position,
+                z_plus.momentum,
+                z_minus.position,
+                z_minus.momentum,
+                1.0,
+                inv_mass,
+            )
+            acc = dict(acc, alive=acc["alive"] & ~whole_turn)
+
+        cand = acc["cand"]
+        new_state = NUTSState(
+            cand.position, cand.logtarget, cand.gradlogtarget, inv_mass, state.tune
+        )
+        na = acc["na"]
+        accept_stat = acc["a"] / jnp.maximum(na, 1).astype(f)
+        info = Info(
+            accept=updated,
+            accept_stat=accept_stat,
+            logtarget=cand.logtarget,
+            extras={
+                "ndoublings": ndoubl,
+                "a": acc["a"],
+                "na": na,
+                "divergent": acc["div"],
+            },
+        )
+        return new_state, info
+
     # --------------------------------------------------------------- step
     def step(self, key, state: NUTSState, target: Target):
+        if self._use_static():
+            return self._step_static(key, state, target)
+        return self._step_looped(key, state, target)
+
+    def _step_looped(self, key, state: NUTSState, target: Target):
         k_mom, k_slice, k_loop = jax.random.split(key, 3)
         x, lt, grad = state.position, state.logtarget, state.gradlogtarget
         eps = state.tune.step

@@ -28,7 +28,9 @@ def test_bench_case_chees_smoke():
 
 
 def test_bench_case_nuts_smoke():
-    r = bench.run_case("nuts", n_chains=4, n_steps=20, burnin=10, lam=1.0,
+    # >=40 post draws: the Geyer IMSE estimate can legitimately go
+    # negative on ~10 draws of a strongly antithetic NUTS chain
+    r = bench.run_case("nuts", n_chains=4, n_steps=60, burnin=20, lam=1.0,
                        max_doublings=3, precision="default")
     assert r["ess_per_sec"] > 0
     assert r["max_doublings"] == 3

@@ -169,3 +169,33 @@ def test_unknown_diagnostic_rejected_with_clear_error():
         )
         with pytest.raises(ValueError, match="unknown diagnostic"):
             job.run(jax.random.key(0), jnp.zeros(2))
+
+
+def test_nuts_static_matches_looped():
+    """The statically-unrolled tree (tree_impl='static') is the same
+    sampler as the looped checkpoint-stack form: same posterior moments
+    and the same mean tree statistics (na, ndoublings) on a correlated
+    Gaussian, up to MC error (independent RNG streams)."""
+    stats = {}
+    for impl in ("looped", "static"):
+        job = kt.MCJob(
+            corr_normal_target(),
+            kt.NUTS(tree_impl=impl),
+            kt.MCRange(n_steps=2500, burnin=800),
+            tuner=kt.DualAveragingTuner(0.8, 800),
+            n_chains=16,
+            diagnostics=("na", "ndoublings"),
+        )
+        chain = job.run(jax.random.key(3), jnp.zeros((16, 2)))
+        flat = np.asarray(chain.flat("value"))
+        stats[impl] = (
+            flat.mean(axis=0),
+            np.cov(flat.T),
+            float(np.mean(np.asarray(chain["na"]))),
+            float(np.mean(np.asarray(chain["ndoublings"]))),
+        )
+        _check_moments(chain)
+    np.testing.assert_allclose(stats["static"][0], stats["looped"][0], atol=0.08)
+    np.testing.assert_allclose(stats["static"][1], stats["looped"][1], atol=0.12)
+    np.testing.assert_allclose(stats["static"][2], stats["looped"][2], rtol=0.12)
+    np.testing.assert_allclose(stats["static"][3], stats["looped"][3], rtol=0.12)
