@@ -413,8 +413,9 @@ def main(wall_budget):
     # 3. NUTS next (VERDICT r03: must land before optional rows);
     #    descending-size ladder IS the retry mechanism.  'high' precision
     #    measured +44% over default (eps 0.186 vs 0.120, mean leaves/step
-    #    23.8 vs 30.5; wall time identical — trees are lockstep-bound at
-    #    the 2^max_doublings cap, the gain is pure mixing)
+    #    23.8 vs 30.5 — the gain is pure mixing); the static unrolled
+    #    tree (NUTS default, see samplers/nuts.py) is a further 4.75x:
+    #    103,495 ESS/s measured at 16k chains
     nuts = None
     for n, md in NUTS_ATTEMPTS:
         if not em.fits():
