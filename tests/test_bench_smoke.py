@@ -107,3 +107,13 @@ def test_bench_parent_survives_interruption(tmp_path):
     last = seen[-1]
     assert last["metric"] == "effective_samples_per_sec_per_chip"
     assert last["value"] > 0, f"interrupted bench lost its value: {last}"
+
+
+def test_bench_case_chees_precond_smoke():
+    """The dense-preconditioned ChEES case runs end-to-end at toy scale
+    (n_chains < dim exercises the diagonal-shrinkage fallback)."""
+    r = bench.run_case("chees_precond", n_chains=8, n_steps=140, burnin=40,
+                       lam=1.0, max_doublings=3, precision="default")
+    assert r["ess_per_sec"] > 0
+    assert r["warmup_seconds"] > 0 and r["sampling_seconds"] > 0
+    assert "lambda_final" not in r or r["lambda_final"] > 0
