@@ -181,13 +181,15 @@ def run_case(case, n_chains, n_steps, burnin, lam, max_doublings, precision):
         print(f"# {case} x{n_chains}: compiling+warm...", file=sys.stderr, flush=True)
         if case == "chees_precond":
             # stage 2 runs in the whitened (~unit isotropic) space, where
-            # the optimal trajectory is known (~pi/2..3): pin lambda=3.0
-            # instead of re-running ChEES there — measured lambda
-            # adaptation noise in whitened space (3 to 7+ run-to-run)
-            # only costs leaps.  warm_stage2 warms the whitened programs
-            # with the SAME Cholesky so the timed pass measures the chip
-            # (each call's L is fresh closure constants = a new program).
-            s2 = kt.HMC(leapstep=0.05, nleaps=8, trajectory_length=3.0,
+            # the optimal trajectory is known: pin it instead of
+            # re-running ChEES there — measured lambda-adaptation noise
+            # in whitened space (3 to 7+ run-to-run) only costs leaps.
+            # Swept on chip: lambda 1.5 -> 4.42M, 2.0 -> 4.66M,
+            # 2.5 -> 4.09M, 3.0 -> 3.25M ESS/s; 2.0 is the optimum.
+            # warm_stage2 warms the whitened programs with the SAME
+            # Cholesky so the timed pass measures the chip (each call's
+            # L is fresh closure constants = a new program).
+            s2 = kt.HMC(leapstep=0.05, nleaps=8, trajectory_length=2.0,
                         jitter=0.9, jitter_style="step", max_nleaps=64)
             chain, timings, _ = job.run_preconditioned(
                 jax.random.key(1), x0, warm_stage2=True,
@@ -434,8 +436,8 @@ def main(wall_budget):
     else:
         em.skip("chees_high")
     # ...and dense ensemble preconditioning on top is the overall
-    # headline: ~3.0M ESS/s measured at 8192 chains (whitened lambda
-    # ~3.1, ~8 leaps/draw).  8192, not 16384: the whitened program hits
+    # headline: 4.66M ESS/s measured at 8192 chains (whitened lambda
+    # pinned at 2.0, ~5 leaps/draw).  8192, not 16384: the whitened program hits
     # a backend fault at 16k chains (deterministic UNAVAILABLE on this
     # tunnel) AND 8k is faster anyway; the fault is scale-dependent,
     # not semantic (CPU + 2k/4k/8k chip runs all correct).
