@@ -769,8 +769,11 @@ class MCJob:
         back to x-space; ``timings['warmup_seconds']`` is the HONEST
         total adaptation cost (all of stage 1 + stage 2 warmup) and
         ``timings['sampling_seconds']`` stage 2's sampling phase;
-        ``info`` carries the Cholesky factor and the whitened job for
-        resuming.  Measured on v5e (ChEES, 16k→8k chains, 100-dim
+        ``info`` carries the Cholesky factor and the whitened job.
+        ``chain.final_state`` stays in WHITENED coordinates — to extend
+        the run, ``info['whitened_job'].resume(...)`` continues in y and
+        the new draws back-transform with ``info['chol']``
+        (x = y @ cholᵀ).  Measured on v5e (ChEES, 16k→8k chains, 100-dim
         logreg): the whitened trajectory length collapses λ 12.6 → 3.1
         and leaps/draw ~70 → ~8, a ~5x end-to-end ESS/s win.
 

@@ -329,3 +329,37 @@ def test_run_preconditioned_dense_metric():
         job = make_job()
         job.monitor = ("value", "logtarget")
         job.run_preconditioned(jax.random.key(0), x0)
+
+
+def test_run_preconditioned_nuts_stage2():
+    """stage2_replace can swap the whitened stage to a different sampler
+    family (NUTS with its own diagnostics) — guards the stage-1/stage-2
+    diagnostics split (stage 1 is HMC and has no 'na' channel)."""
+    rho = 0.9
+    cov = np.array([[1.0, rho], [rho, 1.0]], np.float32)
+    prec = jnp.asarray(np.linalg.inv(cov))
+    target = kt.Target(logdensity_fn=lambda x: -0.5 * x @ prec @ x, dim=2)
+    job = kt.MCJob(
+        target,
+        kt.HMC(leapstep=0.1, nleaps=4, trajectory_length=0.5,
+               jitter=0.9, jitter_style="step", max_nleaps=64),
+        kt.MCRange(n_steps=1200, burnin=500),
+        tuner=kt.DualAveragingTuner(0.8, 500),
+        n_chains=64,
+        monitor=("value",),
+        diagnostics=("accept", "nleaps"),
+        pooled_tuning=True,
+        traj_adaptation=True,
+    )
+    chain, timings, info = job.run_preconditioned(
+        jax.random.key(2), jnp.zeros((64, 2)),
+        stage2_replace=dict(
+            sampler=kt.NUTS(max_doublings=3),
+            traj_adaptation=False,
+            diagnostics=("accept", "na"),
+        ),
+    )
+    flat = np.asarray(chain.value).reshape(-1, 2)
+    np.testing.assert_allclose(flat.mean(axis=0), np.zeros(2), atol=0.08)
+    np.testing.assert_allclose(np.cov(flat.T), cov, atol=0.12)
+    assert float(np.mean(np.asarray(chain["na"]))) >= 1.0
