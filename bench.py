@@ -44,8 +44,14 @@ bf16 the halved step size doubles the leap count of ChEES's long
 adapted trajectories (lambda -> 5.3, eps 0.040): 193k ESS/s, losing to
 fixed-lambda hmc_high's 250k.  At 'high' precision the full step comes
 back (eps 0.181), ChEES adapts lambda -> 12.6 and reaches ESS/draw 0.55
-(~every other draw independent): 564k ESS/s, 2.25x hmc_high.  So
-chees_high is the headline config and runs right after the hmc rows.
+(~every other draw independent): 564k ESS/s, 2.25x hmc_high.
+
+The overall headline is chees_precond: dense ensemble preconditioning
+(MCJob.run_preconditioned) whitens by the end-of-warmup ensemble
+Cholesky, collapsing the required trajectory to a pinned lambda=2
+(~5 leaps/draw at ESS/draw 0.44): 4.65M ESS/s at 8192 chains.
+nuts_precond runs the same preconditioner with a depth-3 NUTS stage 2:
+2.72M ESS/s (26x the raw NUTS row).
 
 vs_baseline: the reference (Klara.jl) publishes no numbers and runs ONE
 chain at a time, single-threaded (src/jobs/jobs.jl:212).  The recorded
