@@ -210,19 +210,24 @@ def run_case(case, n_chains, n_steps, burnin, lam, max_doublings, precision):
             # L is fresh closure constants = a new program).
             s2 = kt.HMC(leapstep=0.05, nleaps=8, trajectory_length=2.0,
                         jitter=0.9, jitter_style="step", max_nleaps=64)
-            chain, timings, _ = job.run_preconditioned(
-                jax.random.key(1), x0, warm_stage2=True,
-                stage2_replace=dict(sampler=s2, traj_adaptation=False),
-            )
-            jax.block_until_ready(chain.value)
+            repl = dict(sampler=s2, traj_adaptation=False)
         elif case == "nuts_precond":
+            repl = dict(
+                sampler=kt.NUTS(max_doublings=3),
+                traj_adaptation=False,
+                diagnostics=("accept", "na"),
+            )
+        if case in ("chees_precond", "nuts_precond"):
+            # throwaway full run first so the TIMED run's warmup_seconds
+            # excludes stage-1 trace/compile, matching how every other
+            # case's warmup is reported (warm_stage2 covers stage 2,
+            # whose Cholesky-specific program is fresh per call anyway)
+            warm, _, _ = job.run_preconditioned(
+                jax.random.key(0), x0, warm_stage2=False, stage2_replace=repl
+            )
+            jax.block_until_ready(warm.value)
             chain, timings, _ = job.run_preconditioned(
-                jax.random.key(1), x0, warm_stage2=True,
-                stage2_replace=dict(
-                    sampler=kt.NUTS(max_doublings=3),
-                    traj_adaptation=False,
-                    diagnostics=("accept", "na"),
-                ),
+                jax.random.key(1), x0, warm_stage2=True, stage2_replace=repl
             )
             jax.block_until_ready(chain.value)
         else:
@@ -299,11 +304,19 @@ def run_case_isolated(case, n_chains, timeout=2400, lam=LAMBDA,
         "--max-doublings", str(max_doublings), "--precision", precision,
     ]
     err = "no attempt ran"
+    # one deadline for ALL attempts: a transient retry must not overshoot
+    # the wall budget the caller sized `timeout` against
+    deadline = time.perf_counter() + timeout
     for attempt in range(retries + 1):
         t0 = time.perf_counter()
+        attempt_timeout = deadline - t0
+        if attempt_timeout < 30:
+            err = f"{err}; no budget left for retry"
+            break
         try:
             out = subprocess.run(cmd, capture_output=True, text=True,
-                                 timeout=timeout, env=_child_env(), cwd=REPO)
+                                 timeout=attempt_timeout, env=_child_env(),
+                                 cwd=REPO)
             stderr, stdout = out.stderr or "", out.stdout or ""
         except subprocess.TimeoutExpired as e:
             def _txt(b):

@@ -316,10 +316,57 @@ def whiten_target(target: Target, chol) -> Target:
         v, g = target.logdensity_and_grad(chol @ y, *args)
         return v, chol.T @ g
 
+    # preserve the Bayesian decomposition and the analytic tensor, both
+    # re-expressed in y (chain rule: grad_y = Lᵀ g, H_y = Lᵀ H_x L);
+    # dtensor_fn (rank-3) and grad_fn are intentionally dropped — the
+    # fused value_and_grad above covers the gradient path, and no
+    # whitened-space consumer of dtensor exists
+    loglik = (
+        (lambda y, *a: target.loglikelihood_fn(chol @ y, *a))
+        if target.loglikelihood_fn is not None
+        else None
+    )
+    logprior = (
+        (lambda y, *a: target.logprior_fn(chol @ y, *a))
+        if target.logprior_fn is not None
+        else None
+    )
+    tensor = (
+        (lambda y, *a: chol.T @ target.tensor_fn(chol @ y, *a) @ chol)
+        if target.tensor_fn is not None
+        else None
+    )
+    prior = (
+        _WhitenedPrior(target.prior, chol) if target.prior is not None else None
+    )
+
     return Target(
         logdensity_fn=logdensity_fn,
         dim=target.dim,
+        loglikelihood_fn=loglik,
+        logprior_fn=logprior,
+        prior=prior,
         value_and_grad_fn=value_and_grad_fn,
+        tensor_fn=tensor,
         ad_mode=target.ad_mode,
         name=f"{target.name}_whitened",
     )
+
+
+class _WhitenedPrior:
+    """x-space prior seen through y = L⁻¹x: draws whiten the base draw;
+    logpdf differs from the x-space one only by the constant log|det L|
+    (irrelevant for init draws and MH ratios)."""
+
+    def __init__(self, base, chol):
+        self.base = base
+        self.chol = chol
+
+    def sample(self, key, shape=None):
+        x = self.base.sample(key) if shape is None else self.base.sample(key, shape)
+        return jax.scipy.linalg.solve_triangular(
+            self.chol, jnp.asarray(x, self.chol.dtype), lower=True
+        )
+
+    def logpdf(self, y):
+        return self.base.logpdf(self.chol @ y)

@@ -124,6 +124,17 @@ class GibbsJob:
     chains_axis: str = "chains"
     # csv streaming flushes once per `stream_chunk` sweeps (cf. MCJob)
     stream_chunk: int = 128
+    # Hoist nested HMC/NUTS blocks' Alg-4 step-size search out of the
+    # sweep scan: run it ONCE per run against the INITIAL conditionals
+    # and seed every sweep's dual-averaging tuner from that value (the
+    # tuner still adapts within each sweep's burnin).  Set False — or
+    # pass an explicit Nested.step_size — when a block's conditional
+    # scale moves far from its init-time geometry over the run (e.g. a
+    # variance hyperparameter travelling orders of magnitude), where a
+    # stale seed can leave the nested tuner a long way from a workable
+    # step.  The reference's nested-job reset performs no per-sweep
+    # search either (BasicGibbsJob.jl:158-168).
+    hoist_step_search: bool = True
 
     def __post_init__(self):
         self._dependents = self.model.dependents
@@ -187,6 +198,8 @@ class GibbsJob:
         from klara_tpu.samplers.nuts import NUTS
         from klara_tpu.tuners.tuners import DualAveragingTuner
 
+        if not self.hoist_step_search:
+            return False
         if os.environ.get("KLARA_GIBBS_NO_HOIST"):  # probe escape hatch
             return False
         return (

@@ -140,6 +140,14 @@ class NUTS(Sampler):
 
     tuner_statistic = "accept_stat"
 
+    def __post_init__(self):
+        if self.tree_impl not in ("auto", "static", "looped"):
+            raise ValueError(
+                f"tree_impl must be 'auto', 'static' or 'looped', "
+                f"got {self.tree_impl!r}"
+            )
+        jnp.dtype(self.ckpt_dtype)  # fail fast on a typo'd dtype string
+
     def _use_static(self):
         if self.tree_impl == "auto":
             return self.max_doublings <= 6
@@ -197,9 +205,12 @@ class NUTS(Sampler):
 
         import os
 
-        # probe-only ablation switches (benchmarks/nuts_ablate_probe):
-        # 'uturn' removes the u-turn math, 'cand' freezes the candidate —
-        # NOT valid samplers, used to attribute per-leaf runtime on chip
+        # Probe-only ablation switches for runtime attribution of the
+        # LOOPED tree (the r04 measurement behind the static-tree
+        # default: ablating 'uturn' here showed the per-leaf checkpoint
+        # arithmetic was 81% of looped step time).  'uturn' removes the
+        # u-turn math, 'cand' freezes the candidate — NOT valid
+        # samplers.  Has no effect on tree_impl='static'.
         _ablate = os.environ.get("KLARA_NUTS_ABLATE", "")
 
         def body(carry):

@@ -132,14 +132,18 @@ def test_nuts_standalone_scalar_position():
 
 
 
-def test_nuts_standalone_matrix_position():
-    """Direct kernel use on a rank-2 (matrix) position.
+@pytest.mark.parametrize("impl", ["looped", "static"])
+def test_nuts_standalone_matrix_position(impl):
+    """Direct kernel use on a rank-2 (matrix) position, BOTH tree
+    implementations.
 
-    Regression (ADVICE r03): the one-hot checkpoint stack assumed exactly
-    rank-1 positions; rank>=2 is now flattened for the checkpoint math
-    (the u-turn dot products sum over all elements, so this is exact)."""
+    Regression (ADVICE r03): the looped one-hot checkpoint stack assumed
+    exactly rank-1 positions; rank>=2 is now flattened for the checkpoint
+    math (the u-turn dot products sum over all elements, so this is
+    exact).  The static tree's merge checks use sum-contractions and are
+    rank-generic by construction."""
     target = kt.Target(logdensity_fn=lambda x: -0.5 * jnp.sum(x**2))
-    sampler = kt.NUTS(leapstep=0.5)
+    sampler = kt.NUTS(leapstep=0.5, tree_impl=impl)
     x0 = jnp.zeros((2, 3)) + 0.5
     state = sampler.init(jax.random.key(0), target, x0, step_size=0.5)
     assert state.position.shape == (2, 3)

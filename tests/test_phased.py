@@ -363,3 +363,38 @@ def test_run_preconditioned_nuts_stage2():
     np.testing.assert_allclose(flat.mean(axis=0), np.zeros(2), atol=0.08)
     np.testing.assert_allclose(np.cov(flat.T), cov, atol=0.12)
     assert float(np.mean(np.asarray(chain["na"]))) >= 1.0
+
+
+def test_whiten_target_preserves_decomposition_and_prior():
+    """whiten_target keeps the Bayesian decomposition, analytic tensor
+    and prior (re-expressed in whitened coordinates) — a whitened job
+    can still draw its initial values from the prior."""
+    from klara_tpu.distributions import Normal
+
+    L = jnp.asarray([[2.0, 0.0], [1.0, 1.0]], jnp.float32)
+    base = kt.Target.from_loglik_logprior(
+        lambda x: -0.5 * jnp.sum(x**2),
+        lambda x: -0.25 * jnp.sum(x**2),
+        dim=2,
+    )
+    import dataclasses as _dc
+    base = _dc.replace(base, prior=Normal(jnp.zeros(2), jnp.ones(2)),
+                       tensor_fn=lambda x: 1.5 * jnp.eye(2))
+    wt = kt.whiten_target(base, L)
+    y = jnp.asarray([0.3, -0.7])
+    x = L @ y
+    np.testing.assert_allclose(wt.logdensity(y), base.logdensity(x), rtol=1e-6)
+    np.testing.assert_allclose(wt.loglikelihood_fn(y), -0.5 * float(x @ x), rtol=1e-6)
+    np.testing.assert_allclose(wt.logprior_fn(y), -0.25 * float(x @ x), rtol=1e-6)
+    # H_y = L^T H_x L
+    np.testing.assert_allclose(np.asarray(wt.tensor_fn(y)),
+                               np.asarray(L.T @ (1.5 * jnp.eye(2)) @ L), rtol=1e-6)
+    # prior draws whiten the base draw: x-space draw recovered by L @ y
+    ydraw = wt.prior.sample(jax.random.key(0))
+    xdraw = base.prior.sample(jax.random.key(0))
+    np.testing.assert_allclose(np.asarray(L @ ydraw), np.asarray(xdraw), rtol=1e-5)
+    # a job on the whitened target can init from the prior (no x0)
+    job = kt.MCJob(wt, kt.MH(sigma=0.5), kt.MCRange(n_steps=50, burnin=10),
+                   n_chains=4)
+    chain = job.run(jax.random.key(1))
+    assert chain.value.shape[0] == 40
