@@ -179,6 +179,37 @@ SWISS_EXAMPLES["swiss_amwg"] = _mk(
 )
 
 
+def _swiss_chees_precond(n_chains=64):
+    """Dense-preconditioned ChEES (MCJob.run_preconditioned) on the
+    swiss posterior — the headline bench configuration asserted against
+    the same gold moments as the rest of the matrix."""
+    target, _, _ = swiss_logistic_regression()
+    job = kt.MCJob(
+        target,
+        kt.HMC(leapstep=0.1, nleaps=4, trajectory_length=0.5,
+               jitter=0.9, jitter_style="step", max_nleaps=128),
+        kt.MCRange(n_steps=6000, burnin=2000),
+        tuner=kt.DualAveragingTuner(0.8, 2000),
+        n_chains=n_chains,
+        monitor=("value",),
+        pooled_tuning=True,
+        mass_adaptation=True,
+        traj_adaptation=True,
+    )
+    chain, _, _ = job.run_preconditioned(
+        jax.random.key(7), X0,
+        stage2_replace=dict(
+            sampler=kt.HMC(leapstep=0.1, nleaps=4, trajectory_length=2.0,
+                           jitter=0.9, jitter_style="step", max_nleaps=64),
+            traj_adaptation=False,
+        ),
+    )
+    _check(chain, "swiss_chees_precond", rate_band=(0.6, 0.95))
+
+
+SWISS_EXAMPLES["swiss_chees_precond"] = _swiss_chees_precond
+
+
 def main(n_chains=64):
     for name, fn in SWISS_EXAMPLES.items():
         fn(n_chains)
