@@ -62,14 +62,25 @@ detail.scaling: chain-scaling efficiency from benchmarks/scaling.py with
 a falsifiable marginal gate (no mesh size may be >20% slower than the
 previous size).
 
-Timeout-proofing (the round-3 lesson): the cumulative headline JSON line
-is RE-EMITTED after every completed case — the driver parses the LAST
-JSON line on stdout, so a mid-run kill still yields a parsed artifact
-with every case completed so far.  A global wall budget
-(``--wall-budget`` / env ``BENCH_WALL_BUDGET_S``, default 3300s) bounds
-the whole run: per-case timeouts shrink to the remaining budget and
-cases that no longer fit are recorded as skipped.  SIGTERM re-emits the
-current cumulative line before exiting.
+Mixing gate: every multi-chain case row carries ``rhat_max`` — the
+cross-chain rank-normalised split-R-hat (Vehtari et al. 2021) maximised
+over coordinates, computed on up to 512 evenly-thinned draws.  When the
+gate is active (n_chains >= 32 and >= 200 post draws) a case with
+rhat_max > 1.02 reports ess_per_sec = 0 and an error field: raw draw
+throughput with broken mixing is not effective-sample throughput.
+
+Timeout-proofing AND driver-capture-proofing (the round-3 and round-4
+lessons): the driver parses a JSON line from a BOUNDED TAIL of stdout
+(~2000 chars observed in r04 — a 4.6 KB cumulative line parsed to null
+despite rc=0).  So every emission, including the final one, is a COMPACT
+headline line (hard-capped < 1500 chars: metric/value/unit/vs_baseline +
+a per-case ess_per_sec map); the full per-case detail goes to
+BENCH_DETAIL.json (atomic rewrite per case, so a mid-run kill keeps
+everything completed so far).  A global wall budget (``--wall-budget`` /
+env ``BENCH_WALL_BUDGET_S``, default 3300s) bounds the whole run:
+per-case timeouts shrink to the remaining budget and cases that no
+longer fit are recorded as skipped.  SIGTERM re-emits the current
+compact line before exiting.
 """
 
 from __future__ import annotations
@@ -94,6 +105,14 @@ PEAK_BF16 = 197e12  # TPU v5e peak bf16 MXU FLOP/s
 N_STEPS = int(os.environ.get("BENCH_STEPS", 700))
 BURNIN = int(os.environ.get("BENCH_BURNIN", 300))
 HEADLINE_CHAINS = int(os.environ.get("BENCH_HEADLINE_CHAINS", 16384))
+# Post-burnin window for the PRECONDITIONED headline cases: ~10x the
+# plain cases' 400 so the timed sampling phase is seconds, not a third
+# of one (VERDICT r04: per-dispatch overhead and timer noise are a
+# material fraction of a 0.3s window).  4000 draws x 8192 chains x 100
+# dims f32 is ~13.1 GB of HBM trace — it fits on the 16 GB chip because
+# the ESS pass back-transforms from the whitened space per chain-chunk
+# instead of materialising a second full x-space buffer.
+HEADLINE_POST = int(os.environ.get("BENCH_HEADLINE_POST", 4000))
 CHAIN_SWEEP = tuple(
     int(s) for s in os.environ.get("BENCH_SWEEP", "2048,4096,8192,16384").split(",")
 )
@@ -101,6 +120,17 @@ NUTS_ATTEMPTS = tuple(
     (int(s), 5) for s in os.environ.get(
         "BENCH_NUTS_CHAINS", "16384,8192,4096,1024").split(",")
 )
+GIBBS_CHAINS = int(os.environ.get("BENCH_GIBBS_CHAINS", 4096))
+GIBBS_STEPS = int(os.environ.get("BENCH_GIBBS_STEPS", 2200))
+GIBBS_BURNIN = int(os.environ.get("BENCH_GIBBS_BURNIN", 200))
+# Mixing gate (see docstring): active for real-scale cases only — at toy
+# smoke-test scale (a handful of chains / ~100 draws) rank-R-hat noise
+# alone can exceed any honest threshold.
+RHAT_GATE = float(os.environ.get("BENCH_RHAT_GATE", 1.02))
+DETAIL_PATH = os.environ.get(
+    "BENCH_DETAIL_PATH", os.path.join(REPO, "BENCH_DETAIL.json")
+)
+MAX_LINE = 1500  # hard cap on every emitted stdout line (driver tail capture)
 
 
 def _child_env():
@@ -114,20 +144,81 @@ def _child_env():
 # child mode: run ONE case in this process, print one JSON line
 # ======================================================================
 
-def _ess_min_chunked(values, chunk=2048):
+def _ess_min_chunked(values, chunk=2048, chol=None):
     """min-over-dims of cross-chain-summed ESS, chunked over chains so the
-    FFT autocovariance never materialises the full (nfft, 16k, 100) array."""
+    FFT autocovariance never materialises the full (nfft, 16k, 100) array.
+
+    ``chol``: optional Cholesky factor when ``values`` is a WHITENED trace
+    (run_preconditioned(back_transform=False)) — each chain-chunk is
+    mapped back to x-space (x = y @ L.T) inside the jitted ESS call, so
+    the full x-space trace is never materialised (long windows sit within
+    a few GB of the HBM limit)."""
     import numpy as np
     import jax
+    import jax.numpy as jnp
 
     import klara_tpu as kt
 
-    f = jax.jit(lambda v: kt.stats.ess(v))
+    if chol is None:
+        f = jax.jit(lambda v: kt.stats.ess(v.astype(jnp.float32)))
+    else:
+        f = jax.jit(
+            lambda v: kt.stats.ess(
+                jnp.einsum("tcd,ed->tce", v.astype(jnp.float32), chol)
+            )
+        )
     total = None
     for s in range(0, values.shape[1], chunk):
         e = np.asarray(f(values[:, s : s + chunk]))
         total = e if total is None else total + e
     return float(np.min(total))
+
+
+def _rhat_max(values, chol=None, max_draws=512, dim_chunk=16):
+    """Max-over-coordinates rank-normalised split-R-hat of a (draws,
+    chains, dim) trace, on up to ``max_draws`` evenly-thinned draws
+    (thinned chains share the stationary distribution, so the gate stays
+    valid while the sort workspace stays bounded for long windows).
+    ``chol`` back-transforms a whitened trace per DIM-chunk — each x
+    coordinate needs all y dims, so chunking runs over output dims."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import klara_tpu as kt
+
+    step = max(1, values.shape[0] // max_draws)
+    v = values[::step]
+    if v.ndim == 2:
+        v = v[:, :, None]
+    dim = v.shape[-1]
+    if chol is None:
+        f = jax.jit(lambda x: jnp.max(kt.stats.rhat_rank(x.astype(jnp.float32))))
+        chunks = [f(v[..., s : s + dim_chunk]) for s in range(0, dim, dim_chunk)]
+    else:
+        f = jax.jit(
+            lambda x, rows: jnp.max(
+                kt.stats.rhat_rank(
+                    jnp.einsum("tcd,ed->tce", x.astype(jnp.float32), rows)
+                )
+            )
+        )
+        chunks = [f(v, chol[s : s + dim_chunk]) for s in range(0, dim, dim_chunk)]
+    return float(np.max(np.asarray([np.asarray(c) for c in chunks])))
+
+
+def _apply_rhat_gate(out, values, n_chains, n_post, chol=None):
+    """Record rhat_max on the row; zero the row's ESS/s if the mixing
+    gate is active and fails (a regression that broke mixing must not
+    post a plausible ESS/s through the chunked Geyer estimator)."""
+    out["rhat_max"] = round(_rhat_max(values, chol=chol), 4)
+    if n_chains >= 32 and n_post >= 200 and out["rhat_max"] > RHAT_GATE:
+        out["ess_per_sec_ungated"] = out["ess_per_sec"]
+        out["ess_per_sec"] = 0.0
+        out["error"] = (
+            f"mixing gate: rhat_max {out['rhat_max']} > {RHAT_GATE}"
+        )
+    return out
 
 
 def run_case(case, n_chains, n_steps, burnin, lam, max_doublings, precision):
@@ -173,6 +264,15 @@ def run_case(case, n_chains, n_steps, burnin, lam, max_doublings, precision):
     # nuts_precond the final chain's 'na' channel comes from the stage-2
     # replace below, while stage 1 is HMC and records 'nleaps'
     job_diag = "nleaps" if case == "nuts_precond" else leap_diag
+    # long-window trace storage: an f32 (n_post, chains, dim) trace
+    # beyond ~8 GB cannot share the 16 GB chip with the run's working
+    # set (measured: 13.1 GB faulted RESOURCE_EXHAUSTED) — store the
+    # trace in bf16 (MCJob.trace_dtype; sampling kernel stays f32, only
+    # the saved copy rounds; ~0.4% relative, far below MC noise)
+    n_post_steps = n_steps - burnin
+    trace_dtype = (
+        "bfloat16" if n_post_steps * n_chains * DIM * 4 > 8e9 else None
+    )
     job = kt.MCJob(
         target,
         sampler,
@@ -184,6 +284,7 @@ def run_case(case, n_chains, n_steps, burnin, lam, max_doublings, precision):
         pooled_tuning=True,
         mass_adaptation=n_chains >= 32,
         mass_period=50,
+        trace_dtype=trace_dtype,
         **extra,
     )
     x0 = 0.1 * jax.random.normal(jax.random.key(42), (n_chains, DIM), jnp.float32)
@@ -217,19 +318,27 @@ def run_case(case, n_chains, n_steps, burnin, lam, max_doublings, precision):
                 traj_adaptation=False,
                 diagnostics=("accept", "na"),
             )
+        chol = None
         if case in ("chees_precond", "nuts_precond"):
             # throwaway full run first so the TIMED run's warmup_seconds
             # excludes stage-1 trace/compile, matching how every other
             # case's warmup is reported (warm_stage2 covers stage 2,
-            # whose Cholesky-specific program is fresh per call anyway)
+            # whose Cholesky-specific program is fresh per call anyway).
+            # back_transform=False: keep the trace in whitened y-space and
+            # map chunks to x inside the ESS/R-hat passes — the long
+            # headline window's trace alone is ~13 GB, so a second full
+            # x-space buffer would OOM the chip.
             warm, _, _ = job.run_preconditioned(
-                jax.random.key(0), x0, warm_stage2=False, stage2_replace=repl
+                jax.random.key(0), x0, warm_stage2=False, stage2_replace=repl,
+                back_transform=False,
             )
             jax.block_until_ready(warm.value)
-            chain, timings, _ = job.run_preconditioned(
-                jax.random.key(1), x0, warm_stage2=True, stage2_replace=repl
+            chain, timings, info = job.run_preconditioned(
+                jax.random.key(1), x0, warm_stage2=True, stage2_replace=repl,
+                back_transform=False,
             )
             jax.block_until_ready(chain.value)
+            chol = info["chol"]
         else:
             chain, _ = job.run_phased(jax.random.key(0), x0)  # compile + warm
             jax.block_until_ready(chain.value)
@@ -239,7 +348,14 @@ def run_case(case, n_chains, n_steps, burnin, lam, max_doublings, precision):
           f"sampling {timings['sampling_seconds']:.2f}s", file=sys.stderr,
           flush=True)
 
-    min_ess = _ess_min_chunked(chain.value)
+    # chain-chunk sized so the FFT workspace (~nfft x chunk x dim c64)
+    # stays a couple of GB even for the long headline window
+    n_post = chain.value.shape[0]
+    nfft = 1
+    while nfft < 2 * n_post:
+        nfft *= 2
+    chunk = min(2048, max(128, (1 << 28) // (nfft * DIM)))
+    min_ess = _ess_min_chunked(chain.value, chunk=chunk, chol=chol)
     accept = float(np.asarray(kt.stats.acceptance(chain)))
     n_draws = chain.n_post * n_chains
     secs = timings["sampling_seconds"]
@@ -254,6 +370,8 @@ def run_case(case, n_chains, n_steps, burnin, lam, max_doublings, precision):
         "sampler": case,
         "ess_per_sec": min_ess / secs,
         "sampling_seconds": round(secs, 3),
+        "steps_per_sec": round(n_post / secs, 2),
+        "draws_per_sec": round(n_draws / secs, 1),
         "warmup_seconds": round(timings["warmup_seconds"], 3),
         "min_ess": round(min_ess, 1),
         "acceptance": round(accept, 3),
@@ -262,6 +380,7 @@ def run_case(case, n_chains, n_steps, burnin, lam, max_doublings, precision):
         "achieved_tflops": round(achieved / 1e12, 2),
         "mfu_pct_bf16_peak": round(100.0 * achieved / PEAK_BF16, 2),
         "precision": precision,
+        "trace_dtype": trace_dtype or "float32",
     }
     fs = chain.final_state
     if hasattr(fs, "tune"):
@@ -275,6 +394,73 @@ def run_case(case, n_chains, n_steps, burnin, lam, max_doublings, precision):
         out["mean_leaves_per_step"] = round(
             total_leaps / max(n_draws, 1), 2
         )
+    return _apply_rhat_gate(out, chain.value, n_chains, n_post, chol=chol)
+
+
+def run_gibbs_case(n_chains, n_steps, burnin, precision):
+    """On-chip GibbsJob row (VERDICT r04 #4): the reference's second
+    flagship job type (src/jobs/BasicGibbsJob.jl:185-199) on the rats
+    hierarchical model — 7 conjugate blocks (alpha(30), beta(30),
+    alpha_c, beta_c, sigma2_c, sigma2_a, sigma2_b) swept per chain,
+    vectorised over chains.  Reports sweeps/sec and min-over-coordinates
+    ESS/s across ALL monitored marginals.  The timed wall includes the
+    burnin sweeps (conjugate Gibbs has no adaptation phase to time
+    apart), so ess_per_sec is conservative by burnin/n_steps."""
+    import jax
+
+    import klara_tpu as kt
+    from klara_tpu.models.examples import rats_gibbs_model
+
+    model, v0 = rats_gibbs_model()
+    job = kt.GibbsJob(
+        model, {}, kt.MCRange(n_steps=n_steps, burnin=burnin),
+        n_chains=n_chains,
+    )
+    if precision == "f32":
+        ctx = jax.default_matmul_precision("float32")
+    elif precision == "high":
+        ctx = jax.default_matmul_precision("high")
+    else:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        print(f"# gibbs x{n_chains}: compiling+warm...", file=sys.stderr,
+              flush=True)
+        warm = job.run(jax.random.key(0), v0)
+        jax.block_until_ready(warm.samples)
+        t0 = time.perf_counter()
+        chains = job.run(jax.random.key(1), v0)
+        jax.block_until_ready(chains.samples)
+        secs = time.perf_counter() - t0
+    print(f"# gibbs x{n_chains}: {secs:.2f}s for {n_steps} sweeps",
+          file=sys.stderr, flush=True)
+
+    n_post = job.mcrange.n_post
+    min_ess, ess_by_key, rhat_worst = None, {}, 0.0
+    for k, arr in chains.samples.items():
+        v = arr if arr.ndim == 3 else arr[:, :, None]
+        e = _ess_min_chunked(v)
+        ess_by_key[k] = round(e, 1)
+        min_ess = e if min_ess is None else min(min_ess, e)
+        rhat_worst = max(rhat_worst, _rhat_max(v))
+    out = {
+        "sampler": "gibbs",
+        "workload": "rats hierarchical (7 conjugate blocks, 64 scalars)",
+        "ess_per_sec": min_ess / secs,
+        "seconds": round(secs, 3),
+        "sweeps_per_sec": round(n_steps / secs, 2),
+        "chain_sweeps_per_sec": round(n_steps * n_chains / secs, 1),
+        "min_ess": round(min_ess, 1),
+        "ess_by_key": ess_by_key,
+        "n_chains": n_chains,
+        "n_sweeps": n_steps,
+        "ess_per_draw": round(min_ess / (n_post * n_chains), 4),
+        "precision": precision,
+        "rhat_max": round(rhat_worst, 4),
+    }
+    if n_chains >= 32 and n_post >= 200 and out["rhat_max"] > RHAT_GATE:
+        out["ess_per_sec_ungated"] = out["ess_per_sec"]
+        out["ess_per_sec"] = 0.0
+        out["error"] = f"mixing gate: rhat_max {out['rhat_max']} > {RHAT_GATE}"
     return out
 
 
@@ -350,6 +536,46 @@ def run_case_isolated(case, n_chains, timeout=2400, lam=LAMBDA,
             "error": err}
 
 
+EXAMPLES_SUBSET = ("readme_normal,bivariate_normal_gibbs,rats_gibbs,"
+                   "swiss_chees_precond,swiss_nuts_analytical")
+
+
+def run_examples_live(em):
+    """Re-run the examples acceptance suite LIVE on this run's device
+    (VERDICT r04 #6: the cached EXAMPLES_TPU.json echo is a claim, not a
+    per-run measurement).  Full 56-example matrix (~215s warm-cache on
+    the chip) when the wall budget allows; a 5-example representative
+    subset when tight; skipped (never failing the headline) otherwise.
+    A full run refreshes the committed EXAMPLES_TPU.json artifact."""
+    budget = int(em.remaining() - 120)
+    if budget < 240:
+        return {"skipped": True, "reason": "wall budget exhausted"}
+    full = budget >= 700
+    rec = os.path.join(
+        REPO, "EXAMPLES_TPU.json" if full else ".examples_live_subset.json"
+    )
+    cmd = [sys.executable, os.path.join(REPO, "examples", "run_examples.py"),
+           "--record", rec]
+    if not full:
+        cmd += ["--only", EXAMPLES_SUBSET]
+    print(f"# examples live ({'full' if full else 'subset'}), "
+          f"budget {budget}s...", file=sys.stderr, flush=True)
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=budget, env=_child_env(), cwd=REPO)
+        rc = out.returncode
+        tail = (out.stderr or out.stdout or "")[-300:]
+    except subprocess.TimeoutExpired:
+        rc, tail = -1, f"timeout after {budget}s"
+    try:
+        with open(rec) as f:
+            r = json.load(f)
+    except Exception:
+        return {"error": tail, "rc": rc}
+    r.update(live=True, full_matrix=full, rc=rc)
+    return r
+
+
 def scaling_table(timeout=900):
     """Run benchmarks/scaling.py in a clean subprocess (it forces the CPU
     platform + 8 virtual devices, which must happen before jax import)."""
@@ -371,11 +597,15 @@ def scaling_table(timeout=900):
 
 
 class Emitter:
-    """Accumulates case results and re-emits the CUMULATIVE headline JSON
-    line after every completed case.  The driver parses the last JSON
-    line on stdout, so a kill at any point still yields everything
-    completed so far (the round-3 lesson: one line at the end = total
-    evidence loss on timeout)."""
+    """Accumulates case results; after every completed case it (a)
+    atomically rewrites BENCH_DETAIL.json with the full cumulative
+    detail, and (b) prints a COMPACT headline JSON line, hard-capped at
+    MAX_LINE chars.  The driver parses a JSON line from a bounded TAIL of
+    stdout (~2000 chars observed in r04: a 4.6 KB line parsed to null
+    despite rc=0), so the fat detail must never ride the stdout line —
+    r02 parsed at ~1.9 KB, r04 failed at ~4.6 KB.  Re-emitting per case
+    keeps a mid-run kill from losing completed evidence (the round-3
+    lesson)."""
 
     def __init__(self, wall_budget):
         self.t0 = time.perf_counter()
@@ -420,7 +650,7 @@ class Emitter:
         else:
             best = max(candidates, key=lambda r: r["ess_per_sec"])
         base_ess = (self.base or {}).get("ess_per_sec", 0.0)
-        out = {
+        headline = {
             "metric": "effective_samples_per_sec_per_chip",
             "value": round(best["ess_per_sec"], 2),
             "unit": (
@@ -433,9 +663,55 @@ class Emitter:
             if base_ess
             else 0.0,
             "elapsed_seconds": round(time.perf_counter() - self.t0, 1),
-            "detail": dict(self.detail, single_chain_baseline=self.base),
         }
-        print(json.dumps(out), flush=True)
+        if "rhat_max" in best:
+            headline["rhat_max"] = best["rhat_max"]
+        if "sampling_seconds" in best:
+            headline["sampling_seconds"] = best["sampling_seconds"]
+
+        # full cumulative detail -> committed file, atomically (a mid-run
+        # kill keeps every completed case)
+        try:
+            tmp = DETAIL_PATH + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    dict(
+                        headline,
+                        detail=dict(self.detail, single_chain_baseline=self.base),
+                    ),
+                    f, indent=1,
+                )
+            os.replace(tmp, DETAIL_PATH)
+        except OSError as e:
+            print(f"# detail write failed: {e}", file=sys.stderr, flush=True)
+
+        # compact stdout line: headline + per-case ESS/s map only
+        def _ess(r):
+            if not isinstance(r, dict):
+                return None
+            if r.get("skipped"):
+                return "skipped"
+            return round(r.get("ess_per_sec", 0.0), 1)
+
+        cases = {k: _ess(r) for k, r in self.detail.items()
+                 if k not in ("hmc_sweep", "scaling", "examples_tpu_cached",
+                              "examples_live")}
+        cases["baseline"] = _ess(self.base)
+        sweep_map = {
+            str(r.get("n_chains")): round(r.get("ess_per_sec", 0.0), 1)
+            for r in self.detail.get("hmc_sweep", [])
+            if isinstance(r, dict) and not r.get("skipped")
+        }
+        compact = dict(headline, cases=cases, sweep=sweep_map,
+                       detail_file="BENCH_DETAIL.json")
+        line = json.dumps(compact)
+        if len(line) > MAX_LINE:  # belt and braces: shed optional fields
+            for drop in ("sweep", "cases", "unit"):
+                compact.pop(drop, None)
+                line = json.dumps(compact)
+                if len(line) <= MAX_LINE:
+                    break
+        print(line, flush=True)
 
 
 def main(wall_budget):
@@ -482,11 +758,15 @@ def main(wall_budget):
     # pinned at 2.0, ~5 leaps/draw).  8192, not 16384: the whitened program hits
     # a backend fault at 16k chains (deterministic UNAVAILABLE on this
     # tunnel) AND 8k is faster anyway; the fault is scale-dependent,
-    # not semantic (CPU + 2k/4k/8k chip runs all correct).
+    # not semantic (CPU + 2k/4k/8k chip runs all correct).  The headline
+    # cases run a LONG sampling window (HEADLINE_POST post-burnin draws,
+    # ~10x the plain cases) so the timed phase is seconds, not a third
+    # of one (VERDICT r04 #2).
     if em.fits():
         em.record("chees_precond",
                   run_case_isolated("chees_precond", min(HEADLINE_CHAINS, 8192),
                                     precision="high",
+                                    n_steps=BURNIN + HEADLINE_POST,
                                     timeout=em.case_timeout(2400)))
     else:
         em.skip("chees_precond")
@@ -517,36 +797,55 @@ def main(wall_budget):
         em.record("nuts_precond",
                   run_case_isolated("nuts_precond", min(HEADLINE_CHAINS, 8192),
                                     precision="high",
+                                    n_steps=BURNIN + HEADLINE_POST,
                                     timeout=em.case_timeout(2400)))
     else:
         em.skip("nuts_precond")
 
-    # 4. chain-count sweep for fixed-trajectory HMC (warm-cached sizes):
-    #    the headline chain count is MEASURED, not assumed
+    # 3c. the reference's second flagship job type on-chip: rats
+    # hierarchical GibbsJob (VERDICT r04 #4 — the round-3 sweep-hoisting
+    # win had no on-chip number in any round)
+    if em.fits():
+        em.record("gibbs",
+                  run_case_isolated("gibbs", GIBBS_CHAINS,
+                                    n_steps=GIBBS_STEPS, burnin=GIBBS_BURNIN,
+                                    precision="high",
+                                    timeout=em.case_timeout(1800)))
+    else:
+        em.skip("gibbs")
+
+    # 4. chain-count sweep for fixed-trajectory HMC (warm-cached sizes) at
+    #    'high' — the measured-best plain precision (VERDICT r04 #7: the
+    #    argmax must run on the surface the headline actually uses)
     sweep = []
     for n in CHAIN_SWEEP:
-        if n == HEADLINE_CHAINS and isinstance(em.detail.get("hmc"), dict) \
-                and em.detail["hmc"].get("ess_per_sec", 0) > 0:
-            sweep.append(em.detail["hmc"])
+        if n == HEADLINE_CHAINS and isinstance(em.detail.get("hmc_high"), dict) \
+                and em.detail["hmc_high"].get("ess_per_sec", 0) > 0:
+            sweep.append(em.detail["hmc_high"])
             continue
         if not em.fits():
             break
-        sweep.append(run_case_isolated("hmc", n,
+        sweep.append(run_case_isolated("hmc", n, precision="high",
                                        timeout=em.case_timeout(1800)))
         em.record("hmc_sweep", sweep)
     ok_sweep = [r for r in sweep if r.get("ess_per_sec", 0) > 0]
     if ok_sweep:
         best_hmc = max(ok_sweep, key=lambda r: r["ess_per_sec"])
-        em.record("hmc", best_hmc, emit=False)
         best_n = best_hmc.get("n_chains", HEADLINE_CHAINS)
     else:
         best_n = HEADLINE_CHAINS
     em.emit()
 
-    # 5. ChEES-adapted trajectory at the best chain count (prove-or-demote
-    #    row, VERDICT r03 #4)
-    if em.fits():
+    # 5. ChEES-adapted trajectory at the sweep's best chain count (prove-
+    #    or-demote row, VERDICT r03 #4), at the same 'high' precision; the
+    #    HEADLINE_CHAINS point is already measured as chees_high
+    if best_n == HEADLINE_CHAINS and isinstance(
+            em.detail.get("chees_high"), dict) \
+            and em.detail["chees_high"].get("ess_per_sec", 0) > 0:
+        em.record("hmc_chees", em.detail["chees_high"], emit=False)
+    elif em.fits():
         em.record("hmc_chees", run_case_isolated("chees", best_n,
+                                                 precision="high",
                                                  timeout=em.case_timeout(1800)))
     else:
         em.skip("hmc_chees")
@@ -567,14 +866,16 @@ def main(wall_budget):
         scaling["proxy"] = "host-CPU virtual mesh (no ICI); correctness canary only"
     em.record("scaling", scaling, emit=False)
 
-    # 8. examples-on-TPU acceptance artifact, if a prior run recorded one
+    # 8. examples acceptance LIVE (budget-gated), plus the cached full-
+    #    matrix artifact from the last recorded on-TPU run for reference
     ex_path = os.path.join(REPO, "EXAMPLES_TPU.json")
     if os.path.exists(ex_path):
         try:
             with open(ex_path) as f:
-                em.record("examples_tpu", json.load(f), emit=False)
+                em.record("examples_tpu_cached", json.load(f), emit=False)
         except Exception:
             pass
+    em.record("examples_live", run_examples_live(em), emit=False)
 
     em.emit()
 
@@ -594,6 +895,11 @@ if __name__ == "__main__":
     args = ap.parse_args()
     if args.case is None:
         main(args.wall_budget)
+    elif args.case == "gibbs":
+        sys.path.insert(0, REPO)
+        result = run_gibbs_case(args.chains, args.steps, args.burnin,
+                                args.precision)
+        print(json.dumps(result), flush=True)
     else:
         sys.path.insert(0, REPO)
         result = run_case(args.case, args.chains, args.steps, args.burnin,

@@ -8,12 +8,16 @@ Bayesian-logistic-regression x {MALA,SMMALA,RAM,HMC,NUTS,slice} x
 Poisson (discrete support), Student-t, bivariate-normal Gibbs, and the
 rats hierarchical model.
 
-Usage: python examples/run_examples.py [--cpu] [--only SUBSTR]
+Usage: python examples/run_examples.py [--cpu] [--only SUBSTR[,SUBSTR...]]
                                        [--record PATH]
 
 ``--record`` writes a JSON artifact {platform, passed, total, failed,
-seconds} — used to record the on-TPU acceptance run (EXAMPLES_TPU.json,
-merged into the bench detail).
+errors, seconds} — used to record the on-TPU acceptance run
+(EXAMPLES_TPU.json, merged into the bench detail).  The artifact is
+written even when examples fail or crash: every example runs under a
+broad ``except Exception`` (a crash in example 3 must not cost the
+remaining 53 results — VERDICT r04 #6), with the traceback tail kept in
+``errors``.
 """
 
 import argparse
@@ -22,6 +26,7 @@ import json
 import os
 import sys
 import time
+import traceback
 
 
 def build_registry():
@@ -66,9 +71,12 @@ def main():
     sys.path.insert(0, here)
 
     registry = build_registry()
-    names = [n for n in registry if args.only is None or args.only in n]
+    subs = None if args.only is None else [
+        s for s in args.only.split(",") if s
+    ]
+    names = [n for n in registry if subs is None or any(s in n for s in subs)]
     print(f"{len(names)} examples")
-    failed = []
+    failed, errors = [], {}
     t_suite = time.perf_counter()
     for i, name in enumerate(names, 1):
         print(f"===== [{i}/{len(names)}] {name} =====", flush=True)
@@ -79,6 +87,12 @@ def main():
         except AssertionError as e:
             failed.append(name)
             print(f"----- {name}: FAILED {e}", flush=True)
+        except Exception:
+            # a crash (not just a posterior-check failure) in one example
+            # must not abort the suite or cost the --record artifact
+            failed.append(name)
+            errors[name] = traceback.format_exc(limit=8)[-1500:]
+            print(f"----- {name}: ERROR\n{errors[name]}", flush=True)
     if args.record:
         import jax
 
@@ -90,6 +104,7 @@ def main():
                     "passed": len(names) - len(failed),
                     "total": len(names),
                     "failed": failed,
+                    "errors": errors,
                     "seconds": round(time.perf_counter() - t_suite, 1),
                 },
                 f,

@@ -363,7 +363,17 @@ class _WhitenedPrior:
         self.chol = chol
 
     def sample(self, key, shape=None):
-        x = self.base.sample(key) if shape is None else self.base.sample(key, shape)
+        if shape is None:
+            x = self.base.sample(key)
+            if jnp.ndim(x) == 0:
+                # scalar (per-component iid) base prior: draw the full
+                # (dim,) iid vector — matching Target.sample_prior's
+                # scalar-prior branch — so solve_triangular gets a 1-d b
+                # (a 0-d draw would raise inside sample_prior's
+                # eval_shape probe before that branch is reached)
+                x = self.base.sample(key, (self.chol.shape[0],))
+        else:
+            x = self.base.sample(key, shape)
         return jax.scipy.linalg.solve_triangular(
             self.chol, jnp.asarray(x, self.chol.dtype), lower=True
         )

@@ -182,6 +182,18 @@ class MCJob:
     # 100-dim logreg).  Delaying past the transient (and past the first
     # mass-matrix update) keeps the gradient informative.
     traj_start_frac: float = 0.1
+    # Storage dtype for the device-resident SAMPLE trace buffers (the
+    # (n_post, n_chains, dim) arrays — the HBM floor of a long run; the
+    # reference's NState storage is host RAM, nstates/*.jl, so it never
+    # faces this).  None keeps each monitored field's compute dtype;
+    # 'bfloat16' halves the trace HBM so sampling windows twice as long
+    # fit on-chip.  Draw values carry ~0.4% relative rounding — far
+    # below MC noise for moment/ESS estimation (measured on-chip: min
+    # ESS within noise of an f32 trace), and rank-based diagnostics
+    # (rank-R-hat) are insensitive to it.  The SAMPLING kernel is
+    # untouched (states stay f32; only the saved copy rounds).
+    # Diagnostics buffers keep their dtypes (ints/bools).
+    trace_dtype: Optional[str] = None
 
     def __post_init__(self):
         if self.tuner is None:
@@ -206,6 +218,8 @@ class MCJob:
             raise ValueError("destination='csv' requires filepath")
         if self.stream_mode not in ("io_callback", "post"):
             raise ValueError(f"unknown stream_mode {self.stream_mode!r}")
+        if self.trace_dtype is not None:
+            jnp.dtype(self.trace_dtype)  # fail fast on a typo'd dtype
         self._writer = None
         # cache the compiled program: a fresh jax.jit(self._run) per call
         # would re-trace (and possibly re-compile) every run
@@ -562,16 +576,21 @@ class MCJob:
 
     def _alloc_buffers(self, states, example_info: Info):
         n_post, n_chains = self.mcrange.n_post, self.n_chains
+        tdt = jnp.dtype(self.trace_dtype) if self.trace_dtype else None
 
-        def alloc_like(x):
+        def alloc_like(x, cast=False):
             x = jnp.asarray(x)
-            return jnp.zeros((n_post,) + x.shape, x.dtype)
+            dt = x.dtype
+            if cast and tdt is not None and jnp.issubdtype(dt, jnp.floating):
+                dt = tdt
+            return jnp.zeros((n_post,) + x.shape, dt)
 
         samples = {
             name: alloc_like(
                 jax.vmap(lambda s, nf: _field_value(name, s, nf, self.target))(
                     states, example_info
-                )
+                ),
+                cast=True,
             )
             for name in self.monitor
         }
@@ -746,7 +765,8 @@ class MCJob:
     # ---------------------------------------- dense ensemble preconditioning
     def run_preconditioned(self, key, x0=None, ridge: float = 1e-6,
                            stage2_replace: Optional[dict] = None,
-                           warm_stage2: bool = False):
+                           warm_stage2: bool = False,
+                           back_transform: bool = True):
         """Two-stage run with a dense ensemble preconditioner.
 
         TPU-native dense-metric HMC/ChEES (no reference counterpart —
@@ -766,7 +786,9 @@ class MCJob:
            target evaluation, with no per-chain matrix state.
 
         Returns ``(chain, timings, info)``: ``chain.value`` is mapped
-        back to x-space; ``timings['warmup_seconds']`` is the HONEST
+        back to x-space (with ``back_transform=False`` it stays in
+        whitened y-coordinates — saves a second full-trace buffer near
+        the HBM limit); ``timings['warmup_seconds']`` is the HONEST
         total adaptation cost (all of stage 1 + stage 2 warmup) and
         ``timings['sampling_seconds']`` stage 2's sampling phase;
         ``info`` carries the Cholesky factor and the whitened job.
@@ -842,14 +864,19 @@ class MCJob:
             key2 = jax.random.fold_in(key2, 1)
         chain, t2 = wjob.run_phased(key2, y0)
 
-        # back-transform the trace to x-space: x = L y
-        chain = dataclasses.replace(
-            chain,
-            samples=dict(
-                chain.samples,
-                value=jnp.einsum("...d,ed->...e", chain.samples["value"], chol),
-            ),
-        )
+        # back-transform the trace to x-space: x = L y.  The einsum
+        # materialises a second (n_post, n_chains, D) buffer alongside the
+        # whitened trace; for long windows near the HBM limit pass
+        # ``back_transform=False`` and map chunks yourself (x = y @ L.T,
+        # L in info['chol']) — e.g. per chain-chunk inside an ESS loop.
+        if back_transform:
+            chain = dataclasses.replace(
+                chain,
+                samples=dict(
+                    chain.samples,
+                    value=jnp.einsum("...d,ed->...e", chain.samples["value"], chol),
+                ),
+            )
         timings = {
             "warmup_seconds": t1["warmup_seconds"]
             + t1["sampling_seconds"]

@@ -131,11 +131,20 @@ class NUTS(Sampler):
     # traffic at large chain counts).  'bfloat16' halves that HBM traffic;
     # the u-turn dot products still reduce in f32.  Stopping decisions may
     # differ from f32 only when a checkpoint inner product sits within
-    # bf16 rounding of zero — the kernel stays a valid MCMC kernel (the
-    # criterion remains a deterministic function of the evaluated states).
-    # Only used by tree_impl='looped'.
+    # bf16 rounding of zero.  Caveat: rounding only the STORED endpoint
+    # (the current point stays f32) makes the stopping rule slightly
+    # direction-asymmetric, which weakens the usual reversibility
+    # argument for slice NUTS near-zero inner products — opt-in,
+    # non-default, practically negligible, but not exactly the textbook
+    # kernel.  Only used by tree_impl='looped'.
     ckpt_dtype: str = "float32"
-    # 'static' | 'looped' | 'auto' (see module docstring)
+    # 'static' | 'looped' | 'auto' (see module docstring).  'auto' picks
+    # the static tree from max_doublings alone; note the static form
+    # always executes all 2^d - 1 leapfrogs with no early exit, so at
+    # SMALL chain counts (e.g. the reference's single-chain regime, or
+    # anything where the chip is not saturated) the looped form's
+    # per-chain early termination can win — pass tree_impl='looped'
+    # explicitly when batch size is small at job construction.
     tree_impl: str = "auto"
 
     tuner_statistic = "accept_stat"
@@ -204,14 +213,25 @@ class NUTS(Sampler):
             return (k < n_leaves) & s
 
         import os
+        import sys as _sys
 
         # Probe-only ablation switches for runtime attribution of the
         # LOOPED tree (the r04 measurement behind the static-tree
         # default: ablating 'uturn' here showed the per-leaf checkpoint
         # arithmetic was 81% of looped step time).  'uturn' removes the
         # u-turn math, 'cand' freezes the candidate — NOT valid
-        # samplers.  Has no effect on tree_impl='static'.
+        # samplers.  Has no effect on tree_impl='static'.  A stray env
+        # var must not silently corrupt production sampling, so an
+        # active ablation screams at every trace (ADVICE r04).
         _ablate = os.environ.get("KLARA_NUTS_ABLATE", "")
+        if _ablate:
+            print(
+                f"WARNING: KLARA_NUTS_ABLATE={_ablate!r} is active — the "
+                "looped NUTS tree is running a probe-only ABLATED kernel "
+                "that is NOT a valid sampler (unset the env var unless "
+                "you are running benchmarks/nuts_bisect.py)",
+                file=_sys.stderr, flush=True,
+            )
 
         def body(carry):
             k, z, cand, n_acc, s, a, na, div, cp, cm, key = carry

@@ -18,6 +18,64 @@ def test_bench_case_hmc_smoke():
     assert r["sampling_seconds"] > 0 and r["warmup_seconds"] > 0
     assert 0 <= r["mfu_pct_bf16_peak"] < 100
     assert "eps_final" in r
+    # every case row carries the mixing diagnostic (VERDICT r04 #3); the
+    # GATE is inactive at this toy scale (n_chains < 32), so ESS stands
+    # even if tiny-sample rank-R-hat noise exceeds the threshold
+    assert r["rhat_max"] > 0
+    assert r["steps_per_sec"] > 0
+
+
+def test_bench_case_gibbs_smoke():
+    """The on-chip Gibbs row's child path at toy scale (VERDICT r04 #4)."""
+    r = bench.run_gibbs_case(n_chains=8, n_steps=260, burnin=60,
+                             precision="default")
+    assert r["sampler"] == "gibbs"
+    assert r["ess_per_sec"] > 0
+    assert r["sweeps_per_sec"] > 0
+    assert r["rhat_max"] > 0
+    assert set(r["ess_by_key"]) >= {"alpha_c", "beta_c", "sigma2_c"}
+
+
+def test_emitter_line_stays_under_driver_tail_capture(capsys, tmp_path,
+                                                      monkeypatch):
+    """BENCH_r04's systemic failure: the cumulative stdout line grew to
+    ~4.6 KB and the driver's ~2000-char tail capture parsed null despite
+    rc=0.  Stuff the emitter with MORE fat detail than a real run ever
+    accumulates and assert every emitted line stays under MAX_LINE and
+    json-parses, while the fat detail lands in the detail file."""
+    import json
+
+    monkeypatch.setattr(bench, "DETAIL_PATH", str(tmp_path / "detail.json"))
+    em = bench.Emitter(wall_budget=10)
+    em.base = {"sampler": "baseline", "ess_per_sec": 379.0, "n_chains": 1,
+               "note": "x" * 400}
+    fat = {k: {"sampler": "hmc", "ess_per_sec": 1e6 + ord(k[0]),
+               "n_chains": 16384, "precision": "high", "rhat_max": 1.0041,
+               "sampling_seconds": 3.21, "padding": "y" * 300}
+           for k in ("hmc", "hmc_high", "chees_high", "chees_precond",
+                     "nuts", "nuts_precond", "gibbs", "hmc_chees", "hmc_f32")}
+    for k, v in fat.items():
+        em.detail[k] = v
+    em.detail["hmc_sweep"] = [
+        {"sampler": "hmc", "ess_per_sec": 1000.0 * n, "n_chains": n,
+         "padding": "z" * 200}
+        for n in (2048, 4096, 8192, 16384)
+    ]
+    em.detail["scaling"] = {"rows": ["w" * 100] * 20}
+    em.emit()
+
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert lines
+    for line in lines:
+        assert len(line) <= bench.MAX_LINE, f"{len(line)}-char line emitted"
+        row = json.loads(line)
+    assert row["metric"] == "effective_samples_per_sec_per_chip"
+    assert row["value"] > 0
+    assert row["cases"]["gibbs"] > 0
+    assert row["detail_file"] == "BENCH_DETAIL.json"
+    detail = json.loads((tmp_path / "detail.json").read_text())
+    assert detail["detail"]["chees_precond"]["padding"]
+    assert detail["detail"]["single_chain_baseline"]["ess_per_sec"] == 379.0
 
 
 def test_bench_case_chees_smoke():
@@ -56,8 +114,13 @@ def test_bench_parent_survives_interruption(tmp_path):
         BENCH_STEPS="80",
         BENCH_BURNIN="20",
         BENCH_HEADLINE_CHAINS="8",
+        BENCH_HEADLINE_POST="60",
         BENCH_SWEEP="4,8",
         BENCH_NUTS_CHAINS="4",
+        BENCH_GIBBS_CHAINS="8",
+        BENCH_GIBBS_STEPS="120",
+        BENCH_GIBBS_BURNIN="20",
+        BENCH_DETAIL_PATH=str(tmp_path / "detail.json"),
         JAX_COMPILATION_CACHE_DIR=str(tmp_path / "cache"),
     )
     env["PYTHONPATH"] = os.pathsep.join(
@@ -85,6 +148,8 @@ def test_bench_parent_survives_interruption(tmp_path):
                 continue
             if not line.startswith("{"):
                 continue
+            assert len(line) <= bench.MAX_LINE, \
+                f"{len(line)}-char line would overflow the driver tail"
             row = json.loads(line)
             seen.append(row)
             if row.get("value", 0) > 0:
@@ -101,12 +166,17 @@ def test_bench_parent_survives_interruption(tmp_path):
     while not lines.empty():
         line = lines.get().strip()
         if line.startswith("{"):
+            assert len(line) <= bench.MAX_LINE, \
+                f"{len(line)}-char line would overflow the driver tail"
             seen.append(json.loads(line))
 
     assert seen, "bench emitted no JSON lines before interruption"
     last = seen[-1]
     assert last["metric"] == "effective_samples_per_sec_per_chip"
     assert last["value"] > 0, f"interrupted bench lost its value: {last}"
+    # the fat per-case detail must have landed in the detail file
+    detail = json.loads((tmp_path / "detail.json").read_text())
+    assert detail["detail"], "detail file missing per-case rows"
 
 
 def test_bench_case_chees_precond_smoke():

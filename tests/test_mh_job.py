@@ -60,6 +60,39 @@ def test_trace_shapes_and_thinning():
     np.testing.assert_allclose(np.asarray(lt), np.asarray(chain["logtarget"]), rtol=1e-5)
 
 
+def test_trace_dtype_bf16_buffers_and_moments():
+    """trace_dtype='bfloat16' halves the trace HBM: sample buffers round
+    to bf16 (diagnostics keep their dtypes), the sampling kernel is
+    untouched (draws equal the f32-trace run within bf16 rounding), and
+    moment estimates agree within MC-noise-scale tolerance."""
+    target = normal_2d_target()
+
+    def mk(trace_dtype):
+        return kt.MCJob(
+            target,
+            kt.MH(sigma=1.0),
+            kt.MCRange(n_steps=800, burnin=200),
+            n_chains=16,
+            monitor=("value", "logtarget"),
+            diagnostics=("accept",),
+            trace_dtype=trace_dtype,
+        )
+
+    c32 = mk(None).run(jax.random.key(5), jnp.zeros(2))
+    c16 = mk("bfloat16").run(jax.random.key(5), jnp.zeros(2))
+    assert c16.value.dtype == jnp.bfloat16
+    assert c16["logtarget"].dtype == jnp.bfloat16
+    assert c16["accept"].dtype == c32["accept"].dtype  # diagnostics untouched
+    # same kernel, same draws — only the stored copy rounds
+    np.testing.assert_allclose(
+        np.asarray(c16.value, np.float32), np.asarray(c32.value),
+        rtol=1e-2, atol=1e-2,
+    )
+    m32 = np.asarray(kt.stats.mean(c32))
+    m16 = np.asarray(c16.value, np.float32).mean(axis=(0, 1))
+    np.testing.assert_allclose(m16, m32, atol=5e-3)
+
+
 def test_mh_asymmetric_proposal_correction():
     """Asymmetric proposal: still targets the right distribution."""
     from klara_tpu.distributions import Normal

@@ -398,3 +398,32 @@ def test_whiten_target_preserves_decomposition_and_prior():
                    n_chains=4)
     chain = job.run(jax.random.key(1))
     assert chain.value.shape[0] == 40
+
+
+def test_whitened_scalar_prior_sample_and_job_init():
+    """ADVICE r04: a SCALAR (per-component iid) base prior used to yield
+    a 0-d whitened draw, crashing solve_triangular inside sample_prior's
+    eval_shape probe — wjob.run without explicit x0 failed.  The whitened
+    prior must lift scalar bases to a (dim,) iid draw."""
+    from klara_tpu.distributions import Normal
+
+    L = jnp.asarray([[2.0, 0.0], [1.0, 1.0]], jnp.float32)
+    base = kt.Target.from_loglik_logprior(
+        lambda x: -0.5 * jnp.sum(x**2),
+        lambda x: -0.25 * jnp.sum(x**2),
+        dim=2,
+    )
+    import dataclasses as _dc
+    base = _dc.replace(base, prior=Normal(0.0, 1.0))  # scalar iid prior
+    wt = kt.whiten_target(base, L)
+    y = wt.prior.sample(jax.random.key(0))
+    assert y.shape == (2,)
+    # iid per-component (not one value tiled): components differ
+    x = np.asarray(L @ y)
+    assert abs(x[0] - x[1]) > 1e-6
+    ydraw = wt.sample_prior(jax.random.key(3))
+    assert ydraw.shape == (2,)
+    job = kt.MCJob(wt, kt.MH(sigma=0.5), kt.MCRange(n_steps=30, burnin=10),
+                   n_chains=4)
+    chain = job.run(jax.random.key(1))  # no x0: init from the prior
+    assert chain.value.shape[0] == 20
