@@ -174,36 +174,55 @@ def _ess_min_chunked(values, chunk=2048, chol=None):
     return float(np.min(total))
 
 
-def _rhat_max(values, chol=None, max_draws=512, dim_chunk=16):
+def _rhat_max(values, chol=None, max_draws=512, dim_chunk=16,
+              chains_cap=2048):
     """Max-over-coordinates rank-normalised split-R-hat of a (draws,
-    chains, dim) trace, on up to ``max_draws`` evenly-thinned draws
-    (thinned chains share the stationary distribution, so the gate stays
-    valid while the sort workspace stays bounded for long windows).
-    ``chol`` back-transforms a whitened trace per DIM-chunk — each x
-    coordinate needs all y dims, so chunking runs over output dims."""
+    chains, dim) trace, on up to ``max_draws`` evenly-thinned draws of
+    up to ``chains_cap`` chains (thinned draws share the stationary
+    distribution and 2k chains are ample for a convergence gate, while
+    the full trace would OOM: a strided gather over the multi-GB
+    scan-layout buffer forces a full layout-normalising copy — measured
+    3 GB over HBM capacity on the long headline window).  ``chol``
+    back-transforms a whitened trace per DIM-chunk — each x coordinate
+    needs all y dims, so chunking runs over output dims."""
     import numpy as np
     import jax
     import jax.numpy as jnp
 
     import klara_tpu as kt
 
+    values = values[:, :chains_cap]  # contiguous slice: no layout copy
     step = max(1, values.shape[0] // max_draws)
-    v = values[::step]
-    if v.ndim == 2:
-        v = v[:, :, None]
-    dim = v.shape[-1]
+    dim = 1 if values.ndim == 2 else values.shape[-1]
+
+    def _prep(x):
+        # thin + lift + cast INSIDE jit: an eager strided gather on a
+        # multi-GB device trace materialises transposed copies of the
+        # whole buffer (measured: 3 GB over HBM capacity on the long
+        # headline window)
+        x = x[::step]
+        if x.ndim == 2:
+            x = x[:, :, None]
+        return x.astype(jnp.float32)
+
+    if values.ndim == 2:  # (draws, chains) scalar marginal
+        g = jax.jit(lambda x: jnp.max(kt.stats.rhat_rank(_prep(x))))
+        return float(np.asarray(g(values)))
     if chol is None:
-        f = jax.jit(lambda x: jnp.max(kt.stats.rhat_rank(x.astype(jnp.float32))))
-        chunks = [f(v[..., s : s + dim_chunk]) for s in range(0, dim, dim_chunk)]
+        f = jax.jit(
+            lambda x, s: jnp.max(
+                kt.stats.rhat_rank(_prep(x[..., s : s + dim_chunk]))
+            ),
+            static_argnums=1,
+        )
+        chunks = [f(values, s) for s in range(0, dim, dim_chunk)]
     else:
         f = jax.jit(
             lambda x, rows: jnp.max(
-                kt.stats.rhat_rank(
-                    jnp.einsum("tcd,ed->tce", x.astype(jnp.float32), rows)
-                )
+                kt.stats.rhat_rank(jnp.einsum("tcd,ed->tce", _prep(x), rows))
             )
         )
-        chunks = [f(v, chol[s : s + dim_chunk]) for s in range(0, dim, dim_chunk)]
+        chunks = [f(values, chol[s : s + dim_chunk]) for s in range(0, dim, dim_chunk)]
     return float(np.max(np.asarray([np.asarray(c) for c in chunks])))
 
 
@@ -333,6 +352,7 @@ def run_case(case, n_chains, n_steps, burnin, lam, max_doublings, precision):
                 back_transform=False,
             )
             jax.block_until_ready(warm.value)
+            del warm  # free the throwaway trace before the timed run's alloc
             chain, timings, info = job.run_preconditioned(
                 jax.random.key(1), x0, warm_stage2=True, stage2_replace=repl,
                 back_transform=False,

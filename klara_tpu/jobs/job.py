@@ -822,7 +822,11 @@ class MCJob:
             ),
         )
         c1, t1 = stage1.run_phased(key, x0)
-        x_end = jnp.asarray(c1.value[-1])              # (n_chains, D)
+        # the trace may be stored reduced-precision (trace_dtype); the
+        # ensemble covariance, its Cholesky, and the stage-2 start
+        # positions must come back to full precision or bf16 would
+        # propagate through y0 into the whitened sampler state
+        x_end = jnp.asarray(c1.value[-1]).astype(jnp.float32)  # (n_chains, D)
         xc = x_end - jnp.mean(x_end, axis=0, keepdims=True)
         cov = (xc.T @ xc) / (x_end.shape[0] - 1)
         # shrink toward the diagonal with weight n/(n+D): full ensemble
@@ -861,6 +865,10 @@ class MCJob:
             # the chip, not trace+compile.
             warm, _ = wjob.run_phased(key2, y0)
             jax.block_until_ready(warm.final_state)
+            # free the warm trace BEFORE the timed pass allocates its
+            # own — two full (n_post, n_chains, D) buffers alive at once
+            # OOM long windows that individually fit
+            del warm
             key2 = jax.random.fold_in(key2, 1)
         chain, t2 = wjob.run_phased(key2, y0)
 

@@ -400,6 +400,29 @@ def test_whiten_target_preserves_decomposition_and_prior():
     assert chain.value.shape[0] == 40
 
 
+def test_preconditioned_run_with_bf16_trace():
+    """run_preconditioned under trace_dtype='bfloat16': the stage-1 end
+    positions come from the reduced-precision trace and must be lifted
+    back to f32 before the covariance/Cholesky/whitened restart (bf16
+    would otherwise propagate into the whitened sampler state and break
+    the fori_loop carry)."""
+    cov = jnp.asarray([[4.0, 1.8], [1.8, 1.0]], jnp.float32)
+    prec = jnp.linalg.inv(cov)
+    t = kt.Target(logdensity_fn=lambda x: -0.5 * x @ prec @ x, dim=2)
+    job = kt.MCJob(
+        t, kt.HMC(leapstep=0.2, nleaps=8, trajectory_length=1.5),
+        kt.MCRange(n_steps=700, burnin=300),
+        tuner=kt.DualAveragingTuner(0.8, 300),
+        n_chains=128, monitor=("value",), pooled_tuning=True,
+        trace_dtype="bfloat16",
+    )
+    x0 = 0.1 * jax.random.normal(jax.random.key(0), (128, 2))
+    chain, timings, info = job.run_preconditioned(jax.random.key(1), x0)
+    assert info["chol"].dtype == jnp.float32
+    flat = np.asarray(chain.value, np.float32).reshape(-1, 2)
+    np.testing.assert_allclose(np.cov(flat.T), np.asarray(cov), atol=0.5)
+
+
 def test_whitened_scalar_prior_sample_and_job_init():
     """ADVICE r04: a SCALAR (per-component iid) base prior used to yield
     a 0-d whitened draw, crashing solve_triangular inside sample_prior's
