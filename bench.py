@@ -121,8 +121,8 @@ NUTS_ATTEMPTS = tuple(
         "BENCH_NUTS_CHAINS", "16384,8192,4096,1024").split(",")
 )
 GIBBS_CHAINS = int(os.environ.get("BENCH_GIBBS_CHAINS", 4096))
-GIBBS_STEPS = int(os.environ.get("BENCH_GIBBS_STEPS", 2200))
-GIBBS_BURNIN = int(os.environ.get("BENCH_GIBBS_BURNIN", 200))
+GIBBS_STEPS = int(os.environ.get("BENCH_GIBBS_STEPS", 30000))
+GIBBS_BURNIN = int(os.environ.get("BENCH_GIBBS_BURNIN", 500))
 # Mixing gate (see docstring): active for real-scale cases only — at toy
 # smoke-test scale (a handful of chains / ~100 draws) rank-R-hat noise
 # alone can exceed any honest threshold.
@@ -432,9 +432,15 @@ def run_gibbs_case(n_chains, n_steps, burnin, precision):
     from klara_tpu.models.examples import rats_gibbs_model
 
     model, v0 = rats_gibbs_model()
+    # monitor the scalar hyperparameters (the quantities of scientific
+    # interest, and they include the slowest-mixing marginal sigma2_c):
+    # recording the 60 per-rat alpha/beta coords too would cap the
+    # window at ~2k sweeps of trace memory, putting the timed wall back
+    # under a third of a second (the r04 honest-timing critique)
+    monitor = ("alpha_c", "beta_c", "sigma2_c", "sigma2_a", "sigma2_b")
     job = kt.GibbsJob(
         model, {}, kt.MCRange(n_steps=n_steps, burnin=burnin),
-        n_chains=n_chains,
+        n_chains=n_chains, monitor=monitor,
     )
     if precision == "f32":
         ctx = jax.default_matmul_precision("float32")
@@ -464,7 +470,8 @@ def run_gibbs_case(n_chains, n_steps, burnin, precision):
         rhat_worst = max(rhat_worst, _rhat_max(v))
     out = {
         "sampler": "gibbs",
-        "workload": "rats hierarchical (7 conjugate blocks, 64 scalars)",
+        "workload": ("rats hierarchical (7 conjugate blocks, 64 sampled "
+                     "scalars/sweep; monitored: 5 hyperparameters)"),
         "ess_per_sec": min_ess / secs,
         "seconds": round(secs, 3),
         "sweeps_per_sec": round(n_steps / secs, 2),
