@@ -240,7 +240,8 @@ def _apply_rhat_gate(out, values, n_chains, n_post, chol=None):
     return out
 
 
-def run_case(case, n_chains, n_steps, burnin, lam, max_doublings, precision):
+def run_case(case, n_chains, n_steps, burnin, lam, max_doublings, precision,
+             thinning=1):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -283,19 +284,24 @@ def run_case(case, n_chains, n_steps, burnin, lam, max_doublings, precision):
     # nuts_precond the final chain's 'na' channel comes from the stage-2
     # replace below, while stage 1 is HMC and records 'nleaps'
     job_diag = "nleaps" if case == "nuts_precond" else leap_diag
-    # long-window trace storage: an f32 (n_post, chains, dim) trace
-    # beyond ~8 GB cannot share the 16 GB chip with the run's working
-    # set (measured: 13.1 GB faulted RESOURCE_EXHAUSTED) — store the
-    # trace in bf16 (MCJob.trace_dtype; sampling kernel stays f32, only
-    # the saved copy rounds; ~0.4% relative, far below MC noise)
-    n_post_steps = n_steps - burnin
+    # long-window trace storage: a (stored, chains, dim) f32 trace beyond
+    # a few GB cannot share the 16 GB chip with the run's working set
+    # (measured: 13.1 GB faulted outright, and the 16k-chain NUTS
+    # program OOM'd with even a 5.2+ GB trace) — store the trace in bf16
+    # (MCJob.trace_dtype; sampling kernel stays f32, only the saved copy
+    # rounds; ~0.4% relative, far below MC noise).  For slow-mixing
+    # cases (raw NUTS) the parent also passes thinning > 1: storing
+    # every k-th step keeps the memory bounded AND cuts per-stored-draw
+    # autocorrelation so the R-hat gate certifies at realistic window
+    # lengths (split-R-hat reads sqrt(1 + 2*IACT/n) at stationarity).
+    n_stored = (n_steps - burnin - 1) // thinning + 1
     trace_dtype = (
-        "bfloat16" if n_post_steps * n_chains * DIM * 4 > 8e9 else None
+        "bfloat16" if n_stored * n_chains * DIM * 4 > 4e9 else None
     )
     job = kt.MCJob(
         target,
         sampler,
-        kt.MCRange(n_steps=n_steps, burnin=burnin),
+        kt.MCRange(n_steps=n_steps, burnin=burnin, thinning=thinning),
         tuner=kt.DualAveragingTuner(0.8, burnin),
         n_chains=n_chains,
         monitor=("value",),
@@ -362,6 +368,7 @@ def run_case(case, n_chains, n_steps, burnin, lam, max_doublings, precision):
         else:
             chain, _ = job.run_phased(jax.random.key(0), x0)  # compile + warm
             jax.block_until_ready(chain.value)
+            del chain  # free the warm trace before the timed run's alloc
             chain, timings = job.run_phased(jax.random.key(1), x0)
             jax.block_until_ready(chain.value)
     print(f"# {case} x{n_chains}: warmup {timings['warmup_seconds']:.2f}s, "
@@ -381,8 +388,13 @@ def run_case(case, n_chains, n_steps, burnin, lam, max_doublings, precision):
     secs = timings["sampling_seconds"]
 
     # analytic MFU: one fused logreg value+grad = 2 MXU matmuls
-    # ((C,D)@(D,N) and (C,N)@(N,D)) = 4*N*D flops per chain-leap
-    total_leaps = float(np.sum(np.asarray(chain[leap_diag], dtype=np.float64)))
+    # ((C,D)@(D,N) and (C,N)@(N,D)) = 4*N*D flops per chain-leap.  With
+    # thinning the diagnostics are stored at every k-th step only, so
+    # the stored sum is scaled by k (stored steps are an unbiased
+    # every-k-th sample of the executed steps' leap counts)
+    total_leaps = thinning * float(
+        np.sum(np.asarray(chain[leap_diag], dtype=np.float64))
+    )
     flops = total_leaps * 4.0 * N_DATA * DIM
     achieved = flops / secs
 
@@ -390,8 +402,11 @@ def run_case(case, n_chains, n_steps, burnin, lam, max_doublings, precision):
         "sampler": case,
         "ess_per_sec": min_ess / secs,
         "sampling_seconds": round(secs, 3),
-        "steps_per_sec": round(n_post / secs, 2),
+        # kernel steps executed per second (not stored draws: with
+        # thinning > 1 the sampling phase runs thinning x n_post steps)
+        "steps_per_sec": round((n_steps - burnin) / secs, 2),
         "draws_per_sec": round(n_draws / secs, 1),
+        "thinning": thinning,
         "warmup_seconds": round(timings["warmup_seconds"], 3),
         "min_ess": round(min_ess, 1),
         "acceptance": round(accept, 3),
@@ -411,8 +426,10 @@ def run_case(case, n_chains, n_steps, burnin, lam, max_doublings, precision):
         )
     if case == "nuts":
         out["max_doublings"] = max_doublings
+        # per EXECUTED kernel step (total_leaps is already scaled to
+        # executed steps above, so divide by executed, not stored)
         out["mean_leaves_per_step"] = round(
-            total_leaps / max(n_draws, 1), 2
+            total_leaps / max((n_steps - burnin) * n_chains, 1), 2
         )
     return _apply_rhat_gate(out, chain.value, n_chains, n_post, chol=chol)
 
@@ -505,7 +522,7 @@ _TRANSIENT = ("UNAVAILABLE", "DEADLINE_EXCEEDED", "Socket closed",
 
 def run_case_isolated(case, n_chains, timeout=2400, lam=LAMBDA,
                       n_steps=N_STEPS, burnin=BURNIN, max_doublings=5,
-                      precision="default", retries=1):
+                      precision="default", retries=1, thinning=1):
     """Run one case in a fresh subprocess; on a TRANSIENT failure, retry
     `retries` times in ANOTHER fresh subprocess (fresh TPU client).
     Timeouts and deterministic failures are not retried — against a
@@ -515,6 +532,7 @@ def run_case_isolated(case, n_chains, timeout=2400, lam=LAMBDA,
         "--case", case, "--chains", str(n_chains), "--lam", str(lam),
         "--steps", str(n_steps), "--burnin", str(burnin),
         "--max-doublings", str(max_doublings), "--precision", precision,
+        "--thinning", str(thinning),
     ]
     err = "no attempt ran"
     # one deadline for ALL attempts: a transient retry must not overshoot
@@ -802,14 +820,21 @@ def main(wall_budget):
     #    descending-size ladder IS the retry mechanism.  'high' precision
     #    measured +44% over default (eps 0.186 vs 0.120, mean leaves/step
     #    23.8 vs 30.5 — the gain is pure mixing); the static unrolled
-    #    tree (NUTS default, see samplers/nuts.py) is a further 4.75x:
-    #    103,495 ESS/s measured at 16k chains
+    #    tree (NUTS default, see samplers/nuts.py) is a further 4.75x.
+    #    Depth 5 is the measured optimum (depth 4 doubles step rate but
+    #    costs 2.4x in ESS/draw — benchmarks/nuts_depth_probe.md).
+    #    Raw NUTS mixes slowly (ESS/draw ~0.06), so the gate-certifiable
+    #    window is long: 2400 post steps stored at thinning 2 (1200 bf16
+    #    draws, 3.9 GB — the 16k-chain NUTS program OOMs beyond ~5 GB of
+    #    trace) keeps stored-draw autocorrelation low enough for
+    #    split-R-hat to read ~1.01 at stationarity.
     nuts = None
     for n, md in NUTS_ATTEMPTS:
         if not em.fits():
             break
         nuts = run_case_isolated("nuts", n, max_doublings=md, retries=0,
                                  precision="high",
+                                 n_steps=BURNIN + 2400, thinning=2,
                                  timeout=em.case_timeout(2400))
         em.record("nuts", nuts)
         if nuts["ess_per_sec"] > 0:
@@ -917,6 +942,7 @@ if __name__ == "__main__":
     ap.add_argument("--burnin", type=int, default=BURNIN)
     ap.add_argument("--max-doublings", type=int, default=5)
     ap.add_argument("--precision", default="default", choices=["default", "high", "f32"])
+    ap.add_argument("--thinning", type=int, default=1)
     ap.add_argument("--wall-budget", type=float,
                     default=float(os.environ.get("BENCH_WALL_BUDGET_S", 3300)))
     args = ap.parse_args()
@@ -930,5 +956,6 @@ if __name__ == "__main__":
     else:
         sys.path.insert(0, REPO)
         result = run_case(args.case, args.chains, args.steps, args.burnin,
-                          args.lam, args.max_doublings, args.precision)
+                          args.lam, args.max_doublings, args.precision,
+                          thinning=args.thinning)
         print(json.dumps(result), flush=True)
