@@ -799,22 +799,34 @@ def main(wall_budget):
     else:
         em.skip("chees_high")
     # ...and dense ensemble preconditioning on top is the overall
-    # headline: 4.66M ESS/s measured at 8192 chains (whitened lambda
-    # pinned at 2.0, ~5 leaps/draw).  8192, not 16384: the whitened program hits
-    # a backend fault at 16k chains (deterministic UNAVAILABLE on this
-    # tunnel) AND 8k is faster anyway; the fault is scale-dependent,
-    # not semantic (CPU + 2k/4k/8k chip runs all correct).  The headline
-    # cases run a LONG sampling window (HEADLINE_POST post-burnin draws,
-    # ~10x the plain cases) so the timed phase is seconds, not a third
-    # of one (VERDICT r04 #2).
-    if em.fits():
-        em.record("chees_precond",
-                  run_case_isolated("chees_precond", min(HEADLINE_CHAINS, 8192),
-                                    precision="high",
-                                    n_steps=BURNIN + HEADLINE_POST,
-                                    timeout=em.case_timeout(2400)))
-    else:
-        em.skip("chees_precond")
+    # headline: 4.96M ESS/s measured at 16384 chains (whitened lambda
+    # pinned at 2.0, ~5 leaps/draw).  16k became runnable once the
+    # redundant stage-2 Alg-4 search was removed — its 16k compiled form
+    # hit a backend fault (benchmarks/whitened_16k_probe.md) — and beats
+    # 8k (4.86M); 8k stays as the fallback rung.  The headline cases run
+    # a LONG sampling window (HEADLINE_POST post-burnin draws at <= 8k
+    # chains, halved at 16k so the bf16 trace stays ~6.5 GB) so the
+    # timed phase is seconds, not a third of one (VERDICT r04 #2).
+    def _precond_ladder():
+        post16 = HEADLINE_POST // 2 if HEADLINE_CHAINS > 8192 else HEADLINE_POST
+        ladder = [(HEADLINE_CHAINS, post16)]
+        if HEADLINE_CHAINS > 8192:
+            ladder.append((8192, HEADLINE_POST))
+        return ladder
+
+    for slot in ("chees_precond", "nuts_precond"):
+        row = None
+        for n, post in _precond_ladder():
+            if not em.fits():
+                break
+            row = run_case_isolated(slot, n, precision="high",
+                                    n_steps=BURNIN + post,
+                                    timeout=em.case_timeout(2400))
+            em.record(slot, row)
+            if row["ess_per_sec"] > 0:
+                break
+        if row is None:
+            em.skip(slot)
 
     # 3. NUTS next (VERDICT r03: must land before optional rows);
     #    descending-size ladder IS the retry mechanism.  'high' precision
@@ -841,18 +853,6 @@ def main(wall_budget):
             break
     if nuts is None:
         em.skip("nuts")
-
-    # 3b. whitened NUTS (dense preconditioner + depth-3 trees): the
-    # reference's flagship sampler on the dense metric — 2.72M ESS/s
-    # measured at 8k chains (26x the raw NUTS row)
-    if em.fits():
-        em.record("nuts_precond",
-                  run_case_isolated("nuts_precond", min(HEADLINE_CHAINS, 8192),
-                                    precision="high",
-                                    n_steps=BURNIN + HEADLINE_POST,
-                                    timeout=em.case_timeout(2400)))
-    else:
-        em.skip("nuts_precond")
 
     # 3c. the reference's second flagship job type on-chip: rats
     # hierarchical GibbsJob (VERDICT r04 #4 — the round-3 sweep-hoisting

@@ -72,6 +72,37 @@ def _whitened_job(n_chains, n_steps, burnin, fixed_nleaps=False):
     return job, x0
 
 
+def _pipeline_job(n_chains):
+    """The bench chees_precond job verbatim (short 400-draw window)."""
+    import jax
+    import jax.numpy as jnp
+
+    import klara_tpu as kt
+    from klara_tpu.models.examples import synthetic_logistic_regression
+
+    target, _, _ = synthetic_logistic_regression(dim=DIM, n_data=N_DATA)
+    sampler = kt.HMC(leapstep=0.05, nleaps=8, trajectory_length=0.5,
+                     jitter=0.9, jitter_style="step", max_nleaps=256)
+    job = kt.MCJob(
+        target, sampler, kt.MCRange(n_steps=700, burnin=300),
+        tuner=kt.DualAveragingTuner(0.8, 300), n_chains=n_chains,
+        monitor=("value",), diagnostics=("accept", "nleaps"),
+        pooled_tuning=True, mass_adaptation=True, mass_period=50,
+        traj_adaptation=True,
+    )
+    x0 = 0.1 * jax.random.normal(jax.random.key(42), (n_chains, DIM),
+                                 jnp.float32)
+    return job, x0
+
+
+def _stage2_repl():
+    import klara_tpu as kt
+
+    s2 = kt.HMC(leapstep=0.05, nleaps=8, trajectory_length=2.0,
+                jitter=0.9, jitter_style="step", max_nleaps=64)
+    return dict(sampler=s2, traj_adaptation=False)
+
+
 def run_leg(leg):
     import contextlib
 
@@ -112,6 +143,80 @@ def run_leg(leg):
             chain, _ = job.run_phased(jax.random.key(1), x0)
             jax.block_until_ready(chain.value)
             out = {"mean_abs": float(jnp.mean(jnp.abs(chain.value)))}
+        elif leg.startswith("pipe_"):
+            # the REAL pipeline (bench chees_precond path): stage-1 ChEES
+            # warmup at 16k in the same process, then the whitened stage.
+            # Standalone whitened legs pass at 16k, so these bisect what
+            # the pipeline adds.  Variants:
+            #   pipe_16k        as-is (expected to reproduce the fault)
+            #   pipe_16k_hostchol   round-trip the Cholesky through host
+            #                   numpy (severs device provenance/aliasing)
+            #   pipe_16k_refresh    jax.clear_caches() + host round-trip
+            #                   of y0 between the stages
+            import numpy as _np
+
+            import dataclasses as _dc
+            import klara_tpu as kt
+            job, x0 = _pipeline_job(16384)
+            if leg == "pipe_16k":
+                chain, _, info = job.run_preconditioned(
+                    jax.random.key(1), x0, back_transform=False,
+                    stage2_replace=_stage2_repl(),
+                )
+            elif leg == "pipe_16k_fixedstep":
+                # skip the whitened pooled Alg-4 step-size search (a
+                # device while_loop whose per-iteration cost scales with
+                # chains): if THIS passes, the faulting op is the search
+                # loop — consistent with a tunnel RPC deadline, not a
+                # kernel bug
+                chain, _, info = job.run_preconditioned(
+                    jax.random.key(1), x0, back_transform=False,
+                    stage2_replace=dict(_stage2_repl(), step_size=0.39),
+                )
+            elif leg == "pipe_16k_to8k":
+                # stage 1 at 16k, whitened stage at 8k (does the fault
+                # follow the whitened program's chain count?)
+                stage1 = _dc.replace(
+                    job, mcrange=kt.MCRange(n_steps=301, burnin=300))
+                c1, _ = stage1.run_phased(jax.random.key(1), x0)
+                x_end = jnp.asarray(c1.value[-1]).astype(jnp.float32)
+                xc = x_end - jnp.mean(x_end, axis=0, keepdims=True)
+                cov = (xc.T @ xc) / (x_end.shape[0] - 1)
+                lam = 1e-6 * jnp.mean(jnp.diag(cov))
+                chol = jnp.linalg.cholesky(cov + lam * jnp.eye(DIM))
+                y0 = jax.scipy.linalg.solve_triangular(
+                    chol, x_end[:8192].T, lower=True).T
+                from klara_tpu.core.target import whiten_target
+                wjob = _dc.replace(
+                    job, target=whiten_target(job.target, chol),
+                    n_chains=8192, **_stage2_repl())
+                chain, _ = wjob.run_phased(jax.random.key(2), y0)
+            else:
+                # manual two-stage replica with host round-trips
+                stage1 = _dc.replace(
+                    job, mcrange=kt.MCRange(n_steps=301, burnin=300))
+                c1, _ = stage1.run_phased(jax.random.key(1), x0)
+                x_end = jnp.asarray(c1.value[-1]).astype(jnp.float32)
+                xc = x_end - jnp.mean(x_end, axis=0, keepdims=True)
+                cov = (xc.T @ xc) / (x_end.shape[0] - 1)
+                n_, d_ = x_end.shape
+                w = n_ / (n_ + d_)
+                cov = w * cov + (1 - w) * jnp.diag(jnp.diag(cov))
+                cov_h = _np.asarray(cov) + 1e-6 * float(
+                    _np.mean(_np.diag(_np.asarray(cov)))) * _np.eye(DIM)
+                chol = jnp.asarray(_np.linalg.cholesky(cov_h), jnp.float32)
+                y0 = jax.scipy.linalg.solve_triangular(
+                    chol, x_end.T, lower=True).T
+                if leg == "pipe_16k_refresh":
+                    y0 = jnp.asarray(_np.asarray(y0))
+                    jax.clear_caches()
+                from klara_tpu.core.target import whiten_target
+                wjob = _dc.replace(
+                    job, target=whiten_target(job.target, chol),
+                    **_stage2_repl())
+                chain, _ = wjob.run_phased(jax.random.key(2), y0)
+            jax.block_until_ready(chain.value)
+            out = {"mean_abs": float(jnp.mean(jnp.abs(chain.value)))}
         else:
             raise ValueError(leg)
     out.update(leg=leg, ok=True, seconds=round(time.perf_counter() - t0, 1),
@@ -128,6 +233,11 @@ LEGS = [
     "samp_white_16k",
     "samp_white_16k_fixed",
     "samp_white_16k_default",
+    "pipe_16k",
+    "pipe_16k_hostchol",
+    "pipe_16k_refresh",
+    "pipe_16k_fixedstep",
+    "pipe_16k_to8k",
 ]
 
 

@@ -850,10 +850,23 @@ class MCJob:
         # sampler=HMC(trajectory_length=3.0, jitter=0.9, ...)).
         from klara_tpu.core.target import whiten_target
 
+        repl = dict(stage2_replace or {})
+        if "step_size" not in repl and self.step_size is None:
+            # The whitened geometry is known (~unit isotropic), so the
+            # stage-2 pooled Alg-4 step-size search is redundant: seed
+            # dual averaging at the standard eps ~ dim^-1/4 and let the
+            # stage-2 warmup adapt from there.  Skipping the search also
+            # sidesteps a backend fault in its 16,384-chain compiled
+            # form on the whitened target (benchmarks/
+            # whitened_16k_probe.md: the search program deterministically
+            # dies UNAVAILABLE at 16k while every other pipeline piece
+            # passes; with an explicit step size the full 16k pipeline
+            # runs).
+            repl["step_size"] = float(x_end.shape[1]) ** -0.25
         wjob = dataclasses.replace(
             self,
             target=whiten_target(self.target, chol),
-            **(stage2_replace or {}),
+            **repl,
         )
         y0 = jax.scipy.linalg.solve_triangular(chol, x_end.T, lower=True).T
         key2 = jax.random.fold_in(key, 0x9EC0)
