@@ -778,16 +778,23 @@ def main(wall_budget):
 
     # 2. headline candidates FIRST (best-known config from r02/r03:
     #    16k chains; 'high' = three-pass bf16 recovers the f32 step size
-    #    at a fraction of f32 matmul cost — see precision note above)
+    #    at a fraction of f32 matmul cost — see precision note above).
+    #    Fixed-lambda HMC mixes at ESS/draw ~0.04 (IACT ~26), so like
+    #    raw NUTS it needs the thinned long window before split-R-hat
+    #    can certify (at 400 draws the autocorrelation floor alone reads
+    #    ~1.12): 2400 post steps stored at thinning 2.
+    hmc_steps = dict(n_steps=BURNIN + 2400, thinning=2)
     if em.fits():
         em.record("hmc", run_case_isolated("hmc", HEADLINE_CHAINS,
-                                           timeout=em.case_timeout(2400)))
+                                           timeout=em.case_timeout(2400),
+                                           **hmc_steps))
     else:
         em.skip("hmc")
     if em.fits():
         em.record("hmc_high",
                   run_case_isolated("hmc", HEADLINE_CHAINS, precision="high",
-                                    timeout=em.case_timeout(2400)))
+                                    timeout=em.case_timeout(2400),
+                                    **hmc_steps))
     else:
         em.skip("hmc_high")
     # ChEES at 'high' precision is the measured-best plain config (564k
@@ -878,7 +885,8 @@ def main(wall_budget):
         if not em.fits():
             break
         sweep.append(run_case_isolated("hmc", n, precision="high",
-                                       timeout=em.case_timeout(1800)))
+                                       timeout=em.case_timeout(1800),
+                                       **hmc_steps))
         em.record("hmc_sweep", sweep)
     ok_sweep = [r for r in sweep if r.get("ess_per_sec", 0) > 0]
     if ok_sweep:
@@ -906,7 +914,8 @@ def main(wall_budget):
     if em.fits():
         em.record("hmc_f32",
                   run_case_isolated("hmc", best_n, precision="f32",
-                                    timeout=em.case_timeout(1800)))
+                                    timeout=em.case_timeout(1800),
+                                    **hmc_steps))
     else:
         em.skip("hmc_f32")
 
