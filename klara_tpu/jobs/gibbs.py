@@ -135,6 +135,12 @@ class GibbsJob:
     # step.  The reference's nested-job reset performs no per-sweep
     # search either (BasicGibbsJob.jl:158-168).
     hoist_step_search: bool = True
+    # Storage dtype for the device trace buffers (cf. MCJob.trace_dtype):
+    # None keeps each variable's compute dtype; 'bfloat16' halves the
+    # trace HBM so sweep windows twice as long fit on-chip.  Only
+    # floating-point variables are cast; the sweep kernel itself is
+    # untouched (only the saved copy rounds).
+    trace_dtype: Optional[str] = None
 
     def __post_init__(self):
         self._dependents = self.model.dependents
@@ -181,6 +187,8 @@ class GibbsJob:
         unknown = set(self.outopts) - set(self.monitor)
         if unknown:
             raise ValueError(f"outopts for unmonitored variables: {sorted(unknown)}")
+        if self.trace_dtype is not None:
+            jnp.dtype(self.trace_dtype)  # fail fast on a typo'd dtype
         self._writers = {}
         self._run_jit = jax.jit(self._run, static_argnames=("prebatched",))
 
@@ -345,10 +353,16 @@ class GibbsJob:
             else []
         )
 
+        tdt = jnp.dtype(self.trace_dtype) if self.trace_dtype else None
+
+        def _buf_dtype(v):
+            dt = jnp.asarray(v).dtype
+            if tdt is not None and jnp.issubdtype(dt, jnp.floating):
+                return tdt
+            return dt
+
         buffers = {
-            k: jnp.zeros(
-                (n_post,) + values0[k].shape, jnp.asarray(values0[k]).dtype
-            )
+            k: jnp.zeros((n_post,) + values0[k].shape, _buf_dtype(values0[k]))
             for k in nstate_keys
         }
         diag_buffers = {

@@ -41,6 +41,33 @@ def test_bivariate_normal_gibbs():
     np.testing.assert_allclose(corr, rho, atol=0.05)
 
 
+def test_gibbs_trace_dtype_bf16():
+    """trace_dtype='bfloat16' rounds the saved trace only (cf.
+    MCJob.trace_dtype): buffers come back bf16, the sweep kernel stays
+    f32, posterior moments agree within MC tolerance."""
+    rho = 0.8
+    p1 = kt.GibbsParameter(
+        "p1",
+        setpdf=lambda v: Normal(v["rho"] * v["p2"], jnp.sqrt(1 - v["rho"] ** 2)),
+    )
+    p2 = kt.GibbsParameter(
+        "p2",
+        setpdf=lambda v: Normal(v["rho"] * v["p1"], jnp.sqrt(1 - v["rho"] ** 2)),
+    )
+    model = kt.GenericModel([kt.Hyperparameter("rho"), p1, p2])
+    job = kt.GibbsJob(model, {}, kt.MCRange(n_steps=3000, burnin=500),
+                      n_chains=16, trace_dtype="bfloat16")
+    chains = job.run(
+        jax.random.key(0), {"rho": jnp.float32(rho), "p1": 5.1, "p2": 2.3}
+    )
+    assert chains.samples["p1"].dtype == jnp.bfloat16
+    # final carry values stay full precision (kernel untouched)
+    assert chains.final_values["p1"].dtype == jnp.float32
+    x1 = np.asarray(chains.flat("p1"), np.float32)
+    x2 = np.asarray(chains.flat("p2"), np.float32)
+    np.testing.assert_allclose(np.corrcoef(x1, x2)[0, 1], rho, atol=0.05)
+
+
 def test_conjugate_normal_inverse_gamma():
     """y_i ~ N(mu, s2); mu | s2 conjugate normal, s2 | mu inverse-gamma."""
     rng = np.random.default_rng(0)
