@@ -39,19 +39,24 @@ MXU passes leave bf16-level noise in the log-density, which inflates
 recovers the f32 step at a fraction of f32 matmul cost and wins
 end-to-end, so it is included in the headline candidates.
 
-ChEES precision interaction (measured r04, v5e, 16k chains): at default
+ChEES precision interaction (measured on v5e, 16k chains): at default
 bf16 the halved step size doubles the leap count of ChEES's long
-adapted trajectories (lambda -> 5.3, eps 0.040): 193k ESS/s, losing to
-fixed-lambda hmc_high's 250k.  At 'high' precision the full step comes
-back (eps 0.181), ChEES adapts lambda -> 12.6 and reaches ESS/draw 0.55
-(~every other draw independent): 564k ESS/s, 2.25x hmc_high.
+adapted trajectories (lambda -> 5.3, eps 0.040), losing to 'high';
+at 'high' precision the full step comes back (eps 0.181), ChEES adapts
+lambda -> 12.6 and reaches ESS/draw 0.55 (~every other draw
+independent): 564k ESS/s vs fixed-lambda hmc_high's 164k (r05
+gate-certified long-window figures; the r04 250k rested on a 400-draw
+window whose Geyer estimate truncates the IACT~26 autocorrelation
+tail).
 
 The overall headline is chees_precond: dense ensemble preconditioning
 (MCJob.run_preconditioned) whitens by the end-of-warmup ensemble
 Cholesky, collapsing the required trajectory to a pinned lambda=2
-(~5 leaps/draw at ESS/draw 0.44): 4.65M ESS/s at 8192 chains.
-nuts_precond runs the same preconditioner with a depth-3 NUTS stage 2:
-2.72M ESS/s (26x the raw NUTS row).
+(~5 leaps/draw at ESS/draw 0.44): 4.95M ESS/s at 16384 chains over a
+2.9s timed window (r05; stage-2 dual averaging is seeded, not
+searched — benchmarks/whitened_16k_probe.md).  nuts_precond runs the
+same preconditioner with a depth-3 NUTS stage 2: 2.72M ESS/s (33x the
+honest raw NUTS row).
 
 vs_baseline: the reference (Klara.jl) publishes no numbers and runs ONE
 chain at a time, single-threaded (src/jobs/jobs.jl:212).  The recorded
