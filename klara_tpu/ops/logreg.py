@@ -9,21 +9,30 @@ logistic regression).  Per leapfrog step, every chain c needs
 Two implementations, selected by ``make_logreg_target``:
 
 * ``_xla_value_grad_batched`` — hand-derived batched value+grad as plain
-  XLA ops.  **This is the production default.**  Measured on TPU v5e
-  (C=2048 chains, D=100, inside a compiled leapfrog loop), XLA fuses the
-  two matmuls with the softplus/sigmoid elementwise chain (the logit
-  matrix never round-trips HBM) and runs the MXU in native bf16 passes:
-  0.024 ms/eval at N=1024, 0.19 ms/eval at N=16384.
+  XLA ops.  **This is the production default.**  Where the time goes
+  (measured r05, v5e, C=16384, N=1024, default precision): XLA does NOT
+  fuse across the two dots — the (C, N) logits round-trip HBM (134 MB
+  f32), and that traffic IS the floor: a matmul+reduce alone takes
+  0.155 ms ≈ 134 MB / 819 GB/s, the full value+grad 0.224 ms (the
+  +0.056 is the softplus/sigmoid VPU work, partially overlapped).  The
+  op runs at ~85% of HBM peak bandwidth.  Under
+  ``default_matmul_precision('high')`` (what the bench uses — bf16
+  matmul noise in the log-density halves the tuned step size) the
+  3-pass MXU time dominates instead: 0.283 ms/eval, with a grad-only
+  eval saving just 2% — which is why the samplers keep the fused
+  value+grad on every leapfrog step.
 
 * ``fused_logreg_value_grad`` — a Pallas kernel tiling chains × data with
   softplus lane-partials and σ(Z)·X accumulated in VMEM scratch.
-  Measured SLOWER than the XLA path at every practical shape (0.76x at
-  N=1024 down to 0.42x at N=16384; per-call padding copies + custom-call
-  dispatch + an opaque fusion barrier outweigh what VMEM-residency saves,
-  and XLA already avoids materialising logits).  Retained as a worked,
-  tested example of the kernel recipe for ops XLA does NOT fuse well, and
-  as the fallback template if a future XLA regression re-materialises the
-  logits.
+  Measured SLOWER than the XLA path at every practical tiling (best
+  0.294 ms at C=16384 with tile_c=1024, tile_n=1024, vs XLA 0.224):
+  an ablation with the transcendentals replaced by identity still
+  measures 0.223 ms, i.e. the kernel's Mosaic schedule (serial
+  MXU->VPU->MXU per grid step) is structure-bound at exactly XLA's
+  level, so avoiding the logits round-trip buys nothing here.  Retained
+  as a worked, tested example of the kernel recipe for ops XLA does NOT
+  fuse well, and as the substrate if a future Mosaic gains intra-step
+  MXU/VPU pipelining (theoretical fused floor ~0.10-0.12 ms).
 
 Also measured: plain ``jax.vmap(jax.value_and_grad(logdensity))`` compiles
 to the SAME fused program and runs marginally faster still (0.025 ms/eval)
