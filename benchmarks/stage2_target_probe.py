@@ -18,6 +18,9 @@ window): 0.65 -> 4.27M, 0.70 -> 4.55M, 0.80 -> 4.95M, 0.85 -> 4.98M,
 within run-to-run noise) and falls off toward lower targets — the
 larger step loses more ESS/draw than it saves in leaps.  The bench
 keeps 0.8.
+
+Lambda re-sweep at 16k (target 0.8): 1.6 -> 4.88M, 2.0 -> 4.95M,
+2.4 -> 4.32M — the r04 8k-chain optimum lambda=2.0 holds at 16k.
 """
 
 from __future__ import annotations
@@ -38,7 +41,7 @@ N_STEPS = 2300
 BURNIN = 300
 
 
-def run_one(target_rate):
+def run_one(target_rate, lam2=2.0):
     import jax
     import jax.numpy as jnp
 
@@ -59,7 +62,7 @@ def run_one(target_rate):
     )
     x0 = 0.1 * jax.random.normal(jax.random.key(42), (N_CHAINS, DIM),
                                  jnp.float32)
-    s2 = kt.HMC(leapstep=0.05, nleaps=8, trajectory_length=2.0,
+    s2 = kt.HMC(leapstep=0.05, nleaps=8, trajectory_length=lam2,
                 jitter=0.9, jitter_style="step", max_nleaps=64)
     repl = dict(sampler=s2, traj_adaptation=False,
                 tuner=kt.DualAveragingTuner(target_rate, BURNIN))
@@ -81,6 +84,7 @@ def run_one(target_rate):
     rhat = bench._rhat_max(chain.value, chol=info["chol"])
     return {
         "target": target_rate,
+        "lambda2": lam2,
         "ess_per_sec": round(min_ess / secs, 1),
         "sampling_seconds": round(secs, 3),
         "ess_per_draw": round(min_ess / (chain.value.shape[0] * N_CHAINS), 4),
@@ -94,8 +98,9 @@ def main(targets):
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-    for t in targets:
-        cmd = [sys.executable, os.path.abspath(__file__), "--one", str(t)]
+    for t, lam2 in targets:
+        cmd = [sys.executable, os.path.abspath(__file__), "--one", str(t),
+               "--lam2", str(lam2)]
         try:
             r = subprocess.run(cmd, capture_output=True, text=True,
                                timeout=2000, env=env, cwd=REPO)
@@ -105,9 +110,9 @@ def main(targets):
                     row = json.loads(line)
                     break
             if row is None:
-                row = {"target": t, "error": (r.stderr or "no output")[-400:]}
+                row = {"target": t, "lambda2": lam2, "error": (r.stderr or "no output")[-400:]}
         except subprocess.TimeoutExpired:
-            row = {"target": t, "error": "timeout"}
+            row = {"target": t, "lambda2": lam2, "error": "timeout"}
         with open(OUT, "a") as f:
             f.write(json.dumps(row) + "\n")
         print(json.dumps(row), flush=True)
@@ -116,9 +121,15 @@ def main(targets):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--one", type=float, default=None)
-    ap.add_argument("--targets", default="0.65,0.7,0.9")
+    ap.add_argument("--lam2", type=float, default=2.0)
+    ap.add_argument("--targets", default="0.65,0.7,0.9",
+                    help="comma list of TARGET or TARGET@LAMBDA pairs")
     args = ap.parse_args()
     if args.one is not None:
-        print(json.dumps(run_one(args.one)), flush=True)
+        print(json.dumps(run_one(args.one, args.lam2)), flush=True)
     else:
-        main([float(s) for s in args.targets.split(",")])
+        pairs = []
+        for s in args.targets.split(","):
+            t, _, l = s.partition("@")
+            pairs.append((float(t), float(l) if l else 2.0))
+        main(pairs)
