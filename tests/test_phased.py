@@ -400,6 +400,32 @@ def test_whiten_target_preserves_decomposition_and_prior():
     assert chain.value.shape[0] == 40
 
 
+def test_preconditioned_stage2_step_is_seeded_not_searched():
+    """run_preconditioned seeds stage-2 dual averaging at dim^-1/4 by
+    default (the whitened Alg-4 search is redundant AND its 16k-chain
+    compiled form hits a backend fault — benchmarks/
+    whitened_16k_probe.md); an explicit stage2_replace['step_size']
+    overrides the seed."""
+    t = kt.Target(logdensity_fn=lambda x: -0.5 * jnp.sum(x**2), dim=4)
+    job = kt.MCJob(
+        t, kt.HMC(leapstep=0.2, nleaps=4, trajectory_length=1.0),
+        kt.MCRange(n_steps=220, burnin=100),
+        tuner=kt.DualAveragingTuner(0.8, 100),
+        n_chains=32, monitor=("value",), pooled_tuning=True,
+    )
+    x0 = 0.1 * jax.random.normal(jax.random.key(0), (32, 4))
+    _, _, info = job.run_preconditioned(jax.random.key(1), x0)
+    assert info["whitened_job"].step_size == pytest.approx(4.0 ** -0.25)
+    _, _, info2 = job.run_preconditioned(
+        jax.random.key(1), x0, stage2_replace=dict(step_size=0.123)
+    )
+    assert info2["whitened_job"].step_size == 0.123
+    # an explicit job-level step size is inherited, not overridden
+    job2 = dataclasses.replace(job, step_size=0.3)
+    _, _, info3 = job2.run_preconditioned(jax.random.key(1), x0)
+    assert info3["whitened_job"].step_size == 0.3
+
+
 def test_preconditioned_run_with_bf16_trace():
     """run_preconditioned under trace_dtype='bfloat16': the stage-1 end
     positions come from the reduced-precision trace and must be lifted
