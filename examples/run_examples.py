@@ -30,8 +30,12 @@ import traceback
 
 
 def build_registry():
-    """name -> zero-arg callable; each runs + asserts one example."""
-    registry = {}
+    """(name -> zero-arg callable, import_errors): each callable runs +
+    asserts one example.  Imports are isolated per module — an
+    import-time crash in one example file must not cost the rest of the
+    suite or the --record artifact (it lands in import_errors and is
+    reported as a failure of that module's examples)."""
+    registry, import_errors = {}, {}
 
     # single-file examples exposing main()
     for name in (
@@ -43,14 +47,23 @@ def build_registry():
         "normal_adaptive",
         "rats_gibbs",
     ):
-        registry[name] = importlib.import_module(name).main
+        try:
+            registry[name] = importlib.import_module(name).main
+        except Exception:
+            import_errors[name] = traceback.format_exc(limit=4)[-800:]
 
     # parametrised families
-    registry.update(importlib.import_module("swiss_matrix").SWISS_EXAMPLES)
-    registry.update(importlib.import_module("normal_family").NORMAL_EXAMPLES)
-    registry.update(importlib.import_module("bivariate_family").BIVARIATE_EXAMPLES)
-    registry.update(importlib.import_module("t_mh").T_EXAMPLES)
-    return registry
+    for mod, attr in (
+        ("swiss_matrix", "SWISS_EXAMPLES"),
+        ("normal_family", "NORMAL_EXAMPLES"),
+        ("bivariate_family", "BIVARIATE_EXAMPLES"),
+        ("t_mh", "T_EXAMPLES"),
+    ):
+        try:
+            registry.update(getattr(importlib.import_module(mod), attr))
+        except Exception:
+            import_errors[mod] = traceback.format_exc(limit=4)[-800:]
+    return registry, import_errors
 
 
 def main():
@@ -70,13 +83,17 @@ def main():
     sys.path.insert(0, os.path.dirname(here))  # repo root (klara_tpu)
     sys.path.insert(0, here)
 
-    registry = build_registry()
+    registry, import_errors = build_registry()
     subs = None if args.only is None else [
         s for s in args.only.split(",") if s
     ]
     names = [n for n in registry if subs is None or any(s in n for s in subs)]
     print(f"{len(names)} examples")
     failed, errors = [], {}
+    for mod, tb in import_errors.items():
+        failed.append(mod)
+        errors[mod] = tb
+        print(f"----- {mod}: IMPORT ERROR\n{tb}", flush=True)
     t_suite = time.perf_counter()
     for i, name in enumerate(names, 1):
         print(f"===== [{i}/{len(names)}] {name} =====", flush=True)
@@ -101,8 +118,10 @@ def main():
                 {
                     "platform": jax.default_backend(),
                     "device": str(jax.devices()[0]),
-                    "passed": len(names) - len(failed),
-                    "total": len(names),
+                    # failed import modules count as extra (unrunnable)
+                    # entries on top of the runnable example names
+                    "passed": len(names) - len([f for f in failed if f in names]),
+                    "total": len(names) + len(import_errors),
                     "failed": failed,
                     "errors": errors,
                     "seconds": round(time.perf_counter() - t_suite, 1),

@@ -891,12 +891,19 @@ class MCJob:
         # ``back_transform=False`` and map chunks yourself (x = y @ L.T,
         # L in info['chol']) — e.g. per chain-chunk inside an ESS loop.
         if back_transform:
+            y_trace = chain.samples["value"]
+            # keep the trace's storage dtype: under trace_dtype='bfloat16'
+            # the bf16 x f32 einsum would otherwise promote to a full-size
+            # f32 buffer (2x the bf16 trace, 3x footprint at peak) and can
+            # OOM a window whose bf16 trace fit.  Jitted so XLA fuses the
+            # down-cast into the einsum epilogue (only the storage-dtype
+            # output materialises) and donates the whitened trace.
+            x_trace = jax.jit(
+                lambda y, L: jnp.einsum("...d,ed->...e", y, L).astype(y.dtype),
+                donate_argnums=0,
+            )(y_trace, chol)
             chain = dataclasses.replace(
-                chain,
-                samples=dict(
-                    chain.samples,
-                    value=jnp.einsum("...d,ed->...e", chain.samples["value"], chol),
-                ),
+                chain, samples=dict(chain.samples, value=x_trace)
             )
         timings = {
             "warmup_seconds": t1["warmup_seconds"]

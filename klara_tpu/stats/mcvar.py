@@ -97,9 +97,10 @@ _ESTIMATORS = {
 
 
 def _extract(chain_or_array, field):
-    if hasattr(chain_or_array, "samples"):
-        return jnp.asarray(chain_or_array[field])
-    return jnp.asarray(chain_or_array)
+    # promotes bf16 trace storage to f32 before any reduction
+    from klara_tpu.stats._common import extract_f32
+
+    return extract_f32(chain_or_array, field)
 
 
 def mcvar(chain_or_array, estimator: str = "imse", field: str = "value", **kwargs):

@@ -8,10 +8,16 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from klara_tpu.stats._common import extract_f32
+
 
 def mean(chain, field: str = "value", per_chain: bool = False):
-    """Posterior mean of a monitored field across draws (and chains)."""
-    arr = chain[field] if hasattr(chain, "__getitem__") else chain
+    """Posterior mean of a monitored field across draws (and chains).
+
+    Accepts a Chain/GibbsChains or a raw (draws, chains, ...) array;
+    bf16-stored traces are promoted to f32 before the reduction
+    (see stats/_common.py)."""
+    arr = extract_f32(chain, field)
     axes = (0,) if per_chain else (0, 1)
     return jnp.mean(arr, axis=axes)
 

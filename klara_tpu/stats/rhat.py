@@ -10,13 +10,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from klara_tpu.stats._common import extract_f32
+
 
 def rhat(chain_or_array, field: str = "value"):
     """Split-R̂ along (draws, chains); broadcasts over trailing axes.
 
     Input (n, m, ...) -> output (...)."""
-    x = chain_or_array[field] if hasattr(chain_or_array, "samples") else chain_or_array
-    x = jnp.asarray(x)
+    x = extract_f32(chain_or_array, field)
     n = x.shape[0] // 2 * 2
     # split each chain in half -> 2m chains of length n/2
     half = n // 2
@@ -57,8 +58,7 @@ def rhat_rank(chain_or_array, field: str = "value"):
     variance, the modern convergence gate (threshold 1.01).
 
     Input (n, m, ...) -> output (...)."""
-    x = chain_or_array[field] if hasattr(chain_or_array, "samples") else chain_or_array
-    x = jnp.asarray(x)
+    x = extract_f32(chain_or_array, field)
     bulk = rhat(_rank_normalize(x))
     folded = jnp.abs(x - jnp.median(x.reshape((-1,) + x.shape[2:]), axis=0))
     tail = rhat(_rank_normalize(folded))
@@ -70,8 +70,8 @@ def ess_bulk(chain_or_array, field: str = "value", **kwargs):
     a center-of-distribution effective sample size robust to heavy tails."""
     from klara_tpu.stats.mcvar import ess
 
-    x = chain_or_array[field] if hasattr(chain_or_array, "samples") else chain_or_array
-    return ess(_rank_normalize(jnp.asarray(x)), **kwargs)
+    x = extract_f32(chain_or_array, field)
+    return ess(_rank_normalize(x), **kwargs)
 
 
 def ess_tail(chain_or_array, field: str = "value", quantiles=(0.05, 0.95), **kwargs):
@@ -80,8 +80,7 @@ def ess_tail(chain_or_array, field: str = "value", quantiles=(0.05, 0.95), **kwa
     tails are resolved."""
     from klara_tpu.stats.mcvar import ess
 
-    x = chain_or_array[field] if hasattr(chain_or_array, "samples") else chain_or_array
-    x = jnp.asarray(x)
+    x = extract_f32(chain_or_array, field)
     out = None
     for q in quantiles:
         qv = jnp.quantile(x.reshape((-1,) + x.shape[2:]), q, axis=0)

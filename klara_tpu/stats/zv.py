@@ -17,8 +17,10 @@ import jax.numpy as jnp
 
 def _flatten(chain, field):
     if hasattr(chain, "samples"):
-        values = jnp.asarray(chain["value"])
-        grads = jnp.asarray(chain["gradlogtarget"])
+        from klara_tpu.stats._common import extract_f32
+
+        values = extract_f32(chain, "value")
+        grads = extract_f32(chain, "gradlogtarget")
         values = values.reshape((-1,) + values.shape[2:])
         grads = grads.reshape((-1,) + grads.shape[2:])
         return values, grads

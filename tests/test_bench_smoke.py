@@ -115,6 +115,7 @@ def test_bench_parent_survives_interruption(tmp_path):
         BENCH_BURNIN="20",
         BENCH_HEADLINE_CHAINS="8",
         BENCH_HEADLINE_POST="60",
+        BENCH_LONG_POST="60",
         BENCH_SWEEP="4,8",
         BENCH_NUTS_CHAINS="4",
         BENCH_GIBBS_CHAINS="8",

@@ -88,9 +88,19 @@ def test_trace_dtype_bf16_buffers_and_moments():
         np.asarray(c16.value, np.float32), np.asarray(c32.value),
         rtol=1e-2, atol=1e-2,
     )
+    # the stats layer promotes bf16 traces to f32 before reducing
+    # (stats/_common.py) — a bf16 accumulator would corrupt the mean
     m32 = np.asarray(kt.stats.mean(c32))
-    m16 = np.asarray(c16.value, np.float32).mean(axis=(0, 1))
+    m16 = np.asarray(kt.stats.mean(c16))
+    assert m16.dtype == np.float32
     np.testing.assert_allclose(m16, m32, atol=5e-3)
+    e32 = np.asarray(kt.stats.ess(c32))
+    e16 = np.asarray(kt.stats.ess(c16))
+    np.testing.assert_allclose(e16, e32, rtol=0.05)
+    # raw (draws, chains, dim) arrays are accepted too
+    np.testing.assert_allclose(
+        np.asarray(kt.stats.mean(c16.value)), m16, atol=1e-6
+    )
 
 
 def test_mh_asymmetric_proposal_correction():

@@ -445,6 +445,9 @@ def test_preconditioned_run_with_bf16_trace():
     x0 = 0.1 * jax.random.normal(jax.random.key(0), (128, 2))
     chain, timings, info = job.run_preconditioned(jax.random.key(1), x0)
     assert info["chol"].dtype == jnp.float32
+    # the back-transform keeps the trace's storage dtype (an f32 result
+    # would silently double the trace footprint the bf16 option bought)
+    assert chain.value.dtype == jnp.bfloat16
     flat = np.asarray(chain.value, np.float32).reshape(-1, 2)
     np.testing.assert_allclose(np.cov(flat.T), np.asarray(cov), atol=0.5)
 
