@@ -111,12 +111,12 @@ N_STEPS = int(os.environ.get("BENCH_STEPS", 700))
 BURNIN = int(os.environ.get("BENCH_BURNIN", 300))
 HEADLINE_CHAINS = int(os.environ.get("BENCH_HEADLINE_CHAINS", 16384))
 # Post-burnin window for the PRECONDITIONED headline cases: ~10x the
-# plain cases' 400 so the timed sampling phase is seconds, not a third
-# of one (VERDICT r04: per-dispatch overhead and timer noise are a
-# material fraction of a 0.3s window).  4000 draws x 8192 chains x 100
-# dims f32 is ~13.1 GB of HBM trace — it fits on the 16 GB chip because
-# the ESS pass back-transforms from the whitened space per chain-chunk
-# instead of materialising a second full x-space buffer.
+# old 400 so the timed sampling phase is seconds, not a third of one
+# (VERDICT r04: per-dispatch overhead and timer noise are a material
+# fraction of a 0.3s window).  This is the <=8k-chain window; the
+# 16k-chain rung halves it so the bf16 trace stays ~6.5 GB (the ESS
+# pass additionally back-transforms from the whitened space per
+# chain-chunk instead of materialising a second full x-space buffer).
 HEADLINE_POST = int(os.environ.get("BENCH_HEADLINE_POST", 4000))
 # Post-burnin window for the SLOW-MIXING rows (fixed-lambda HMC, raw
 # NUTS): stored at thinning 2 so split-R-hat can certify (see the
